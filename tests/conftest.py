@@ -1,0 +1,45 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding logic is
+exercised without TPU hardware (SURVEY.md §4). Must run before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+# Keep f32 exactly f32 on CPU (no TF32-style shenanigans in tests).
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import pathlib
+
+import pytest
+
+GOLDEN_DIR = pathlib.Path(__file__).parent / "golden"
+ASSET_DIR = pathlib.Path(__file__).parent.parent / "assets"
+REFERENCE_DATA = pathlib.Path(
+    os.environ.get("REFERENCE_DIR", "/root/reference")
+) / "data"
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    return GOLDEN_DIR
+
+
+def require_golden(name: str) -> pathlib.Path:
+    path = GOLDEN_DIR / name
+    if not path.exists():
+        pytest.skip(f"golden file {name} not generated (run tools/make_goldens.py)")
+    return path
+
+
+def require_reference_data(name: str) -> pathlib.Path:
+    path = REFERENCE_DATA / name
+    if not path.exists():
+        pytest.skip(f"reference asset {name} unavailable")
+    return path

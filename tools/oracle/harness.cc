@@ -1,0 +1,380 @@
+// Golden-data generator for pathtracing_tpu.
+//
+// Compiles against the READ-ONLY reference tree via -I$REFERENCE_DIR and
+// calls its public C-callable API (path_trace_pixel / tonemap_pixel /
+// load_mesh / build_blas / build_tlas — see reference README.md:24-39) to
+// dump ground-truth values the Python/JAX implementation is tested against.
+// No reference code is copied; this file only *calls* it.
+//
+// Output container format ("GOLD"): sequence of named arrays,
+//   [u32 name_len][name][char dtype f|u|i][u32 itemsize][u32 ndim][u64 dims...][raw]
+//
+// Build (no -ffast-math so the oracle is IEEE-deterministic):
+//   g++ -O2 -std=c++17 -I$REF harness.cc $REF_OBJS -o harness -fopenmp
+
+#include <cstdio>
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <string>
+#include <vector>
+
+#include "math.hh"
+#include "mesh.hh"
+#include "bvh.hh"
+#include "scene.hh"
+#include "ray_query.hh"
+#include "path_tracer.hh"
+
+static FILE* g_out = nullptr;
+
+static void write_array(
+    const char* name, char dtype, uint32_t itemsize,
+    const std::vector<uint64_t>& dims, const void* data
+){
+    uint32_t name_len = strlen(name);
+    fwrite(&name_len, 4, 1, g_out);
+    fwrite(name, 1, name_len, g_out);
+    fwrite(&dtype, 1, 1, g_out);
+    fwrite(&itemsize, 4, 1, g_out);
+    uint32_t ndim = dims.size();
+    fwrite(&ndim, 4, 1, g_out);
+    uint64_t total = 1;
+    for(uint64_t d : dims){ fwrite(&d, 8, 1, g_out); total *= d; }
+    fwrite(data, itemsize, total, g_out);
+}
+
+static void open_out(const char* path)
+{
+    g_out = fopen(path, "wb");
+    if(!g_out){ fprintf(stderr, "cannot open %s\n", path); exit(1); }
+    fwrite("GOLD", 1, 4, g_out);
+}
+
+// ---------------------------------------------------------------- rng ----
+static void cmd_rng(const char* out_path)
+{
+    open_out(out_path);
+    const uint4 seeds[] = {
+        {1,2,3,4},
+        {0,0,0,STUDENT_ID},
+        {17,251,0,STUDENT_ID},
+        {639,359,255u,STUDENT_ID},
+        {320,180,(uint)-1,STUDENT_ID},  // sample_index=-1 cast to uint
+        {0xFFFFFFFFu,0xFFFFFFFFu,0xFFFFFFFFu,0xFFFFFFFFu},
+    };
+    const int n_seeds = sizeof(seeds)/sizeof(seeds[0]);
+    const int steps = 32;
+    std::vector<uint32_t> states(n_seeds*steps*4);
+    std::vector<float> uniforms(n_seeds*steps*4);
+    for(int i = 0; i < n_seeds; ++i)
+    {
+        uint4 s = seeds[i];
+        for(int j = 0; j < steps; ++j)
+        {
+            uint4 v = pcg4d(&s);
+            states[(i*steps+j)*4+0] = v.x;
+            states[(i*steps+j)*4+1] = v.y;
+            states[(i*steps+j)*4+2] = v.z;
+            states[(i*steps+j)*4+3] = v.w;
+        }
+        s = seeds[i];
+        for(int j = 0; j < steps; ++j)
+        {
+            float4 u = generate_uniform_random4(&s);
+            uniforms[(i*steps+j)*4+0] = u.x;
+            uniforms[(i*steps+j)*4+1] = u.y;
+            uniforms[(i*steps+j)*4+2] = u.z;
+            uniforms[(i*steps+j)*4+3] = u.w;
+        }
+    }
+    write_array("seeds", 'u', 4, { (uint64_t)n_seeds, 4 }, seeds);
+    write_array("states", 'u', 4, { (uint64_t)n_seeds, steps, 4 }, states.data());
+    write_array("uniforms", 'f', 4, { (uint64_t)n_seeds, steps, 4 }, uniforms.data());
+    fclose(g_out);
+}
+
+// ---------------------------------------------------------------- mesh ----
+static void dump_mesh_buffers(const mesh_buffers& mb, const char* prefix)
+{
+    std::string p(prefix);
+    write_array((p+"indices").c_str(), 'u', 4, { mb.indices.size() }, mb.indices.data());
+    // float3 has 16-byte alignment (padded); copy to packed triples.
+    std::vector<float> pos(mb.pos.size()*3), nrm(mb.normal.size()*3);
+    for(size_t i = 0; i < mb.pos.size(); ++i)
+    { pos[i*3]=mb.pos[i].x; pos[i*3+1]=mb.pos[i].y; pos[i*3+2]=mb.pos[i].z; }
+    for(size_t i = 0; i < mb.normal.size(); ++i)
+    { nrm[i*3]=mb.normal[i].x; nrm[i*3+1]=mb.normal[i].y; nrm[i*3+2]=mb.normal[i].z; }
+    write_array((p+"pos").c_str(), 'f', 4, { mb.pos.size(), 3 }, pos.data());
+    write_array((p+"normal").c_str(), 'f', 4, { mb.normal.size(), 3 }, nrm.data());
+    write_array((p+"albedo").c_str(), 'f', 4, { mb.albedo.size(), 4 }, mb.albedo.data());
+    write_array((p+"material").c_str(), 'f', 4, { mb.material.size(), 4 }, mb.material.data());
+}
+
+static void dump_bvh_buffers(const bvh_buffers& bc, const char* prefix)
+{
+    std::string p(prefix);
+    write_array((p+"nodes").c_str(), 'f', 4, { bc.nodes.size(), 6 }, bc.nodes.data());
+    write_array((p+"links").c_str(), 'u', 4, { bc.links.size(), 2 }, bc.links.data());
+}
+
+static void cmd_mesh(const char* obj, const char* out_path)
+{
+    open_out(out_path);
+    mesh_buffers mb;
+    mesh m = load_mesh(mb, obj);
+    uint32_t handle[4] = { m.vertex_count, m.triangle_count, m.index_offset, m.base_vertex_offset };
+    write_array("handle", 'u', 4, {4}, handle);
+    dump_mesh_buffers(mb, "");
+    fclose(g_out);
+}
+
+static void cmd_blas(const char* obj, const char* out_path)
+{
+    open_out(out_path);
+    mesh_buffers mb;
+    mesh m = load_mesh(mb, obj);
+    bvh_buffers bc;
+    bvh b = build_blas(m, mb, bc);
+    uint32_t handle[2] = { b.node_count, b.node_offset };
+    write_array("bvh", 'u', 4, {2}, handle);
+    dump_bvh_buffers(bc, "");
+    fclose(g_out);
+}
+
+// --------------------------------------------------------------- scene ----
+// Golden test scene: ground plane + teapot + rock0..rock4 with fixed
+// transforms, reference-default light, fixed camera. Mirrored in
+// tests/golden_scene.py — keep in sync!
+struct golden_scene
+{
+    mesh_buffers mb;
+    bvh_buffers bc;
+    std::vector<tlas_instance> instances;
+    bvh tlas;
+    std::vector<subframe> subframes;
+};
+
+static void add_inst(
+    golden_scene& gs, mesh m, bvh blas,
+    float3 pos, float3 pyr_deg, float3 scale
+){
+    mat4 transform = scaling(scale);
+    transform = mul_m4m4(rotation_euler(pyr_deg * (float)M_PI / 180.0f), transform);
+    transform = mul_m4m4(translation(pos), transform);
+    gs.instances.push_back(tlas_instance{blas, m, transform, inverse4(transform)});
+}
+
+static golden_scene build_golden_scene(const char* data_dir, const char* ground_obj)
+{
+    golden_scene gs;
+    std::string d(data_dir);
+    auto load = [&](const char* rel) {
+        mesh m = load_mesh(gs.mb, (d + "/" + rel).c_str());
+        bvh b = build_blas(m, gs.mb, gs.bc);
+        return std::make_pair(m, b);
+    };
+    auto [ground_m, ground_b] = [&]{
+        mesh m = load_mesh(gs.mb, ground_obj);
+        bvh b = build_blas(m, gs.mb, gs.bc);
+        return std::make_pair(m, b);
+    }();
+    auto [teapot_m, teapot_b] = load("teapot.obj");
+    auto [r0_m, r0_b] = load("rock0.obj");
+    auto [r1_m, r1_b] = load("rock1.obj");
+    auto [r2_m, r2_b] = load("rock2.obj");
+    auto [r3_m, r3_b] = load("rock3.obj");
+    auto [r4_m, r4_b] = load("rock4.obj");
+
+    add_inst(gs, ground_m, ground_b, {0,0,0}, {0,0,0}, {1,1,1});
+    add_inst(gs, teapot_m, teapot_b, {0,0.0f,0}, {0,30,0}, {1,1,1});
+    add_inst(gs, r0_m, r0_b, {-3,0,-1}, {0,70,0}, {1,1,1});
+    add_inst(gs, r1_m, r1_b, {2.5f,0,-2}, {0,140,0}, {2,2,2});
+    add_inst(gs, r2_m, r2_b, {4,0,3}, {0,200,0}, {1.5f,1.5f,1.5f});
+    add_inst(gs, r3_m, r3_b, {-2.5f,0,3.5f}, {10,290,0}, {1,1,1});
+    add_inst(gs, r4_m, r4_b, {0.5f,0,-5}, {0,15,0}, {3,3,3});
+
+    std::vector<std::pair<const tlas_instance*, uint>> ti;
+    for(uint i = 0; i < gs.instances.size(); ++i)
+        ti.push_back({&gs.instances[i], i});
+    gs.tlas = build_tlas(ti.size(), ti.data(), gs.bc, gs.bc);
+
+    camera cam;
+    cam.position = float3{7.0f, 4.5f, 11.0f};
+    cam.aspect_ratio = IMAGE_WIDTH/float(IMAGE_HEIGHT);
+    cam.orientation = extract_m4m3(rotation_euler(float3{18.0f, 150.0f, 0.0f} * (float)M_PI / 180.0f));
+    cam.inv_focal_length = tan(60.0f * (float)M_PI / 360.0f);
+    cam.focal_distance = 2.0f;
+    cam.aperture_angle = (float)M_PI/16.0f;
+    cam.aperture_polygon = 6;
+    cam.aperture_radius = 0.0f;
+
+    directional_light light;
+    light.color = float3{4,4,4};
+    light.cos_solid_angle = cos(4.0f * (float)M_PI / 180.0f);
+    light.direction = normalize(float3{0,1,1});
+
+    uint subframe_count =
+        (SAMPLES_PER_PIXEL + SAMPLES_PER_MOTION_BLUR_STEP-1)
+        / SAMPLES_PER_MOTION_BLUR_STEP;
+    for(uint i = 0; i < subframe_count; ++i)
+        gs.subframes.push_back(subframe{gs.tlas, cam, light});
+    return gs;
+}
+
+static void dump_scene(golden_scene& gs, const char* out_path)
+{
+    open_out(out_path);
+    dump_mesh_buffers(gs.mb, "");
+    dump_bvh_buffers(gs.bc, "");
+    uint32_t tl[2] = { gs.tlas.node_count, gs.tlas.node_offset };
+    write_array("tlas", 'u', 4, {2}, tl);
+    // Per instance: 6 u32 (blas nc/no, mesh vc/tc/io/bvo) + 32 f32 (transform,
+    // inv_transform, row-major).
+    std::vector<uint32_t> inst_u(gs.instances.size()*6);
+    std::vector<float> inst_f(gs.instances.size()*32);
+    for(size_t i = 0; i < gs.instances.size(); ++i)
+    {
+        const tlas_instance& t = gs.instances[i];
+        inst_u[i*6+0] = t.blas.node_count;
+        inst_u[i*6+1] = t.blas.node_offset;
+        inst_u[i*6+2] = t.m.vertex_count;
+        inst_u[i*6+3] = t.m.triangle_count;
+        inst_u[i*6+4] = t.m.index_offset;
+        inst_u[i*6+5] = t.m.base_vertex_offset;
+        memcpy(&inst_f[i*32], &t.transform, 16*4);
+        memcpy(&inst_f[i*32+16], &t.inv_transform, 16*4);
+    }
+    write_array("instances_u", 'u', 4, { gs.instances.size(), 6 }, inst_u.data());
+    write_array("instances_f", 'f', 4, { gs.instances.size(), 32 }, inst_f.data());
+    const camera& c = gs.subframes[0].cam;
+    float cam_f[18] = {
+        c.orientation.r[0].x, c.orientation.r[0].y, c.orientation.r[0].z,
+        c.orientation.r[1].x, c.orientation.r[1].y, c.orientation.r[1].z,
+        c.orientation.r[2].x, c.orientation.r[2].y, c.orientation.r[2].z,
+        c.position.x, c.position.y, c.position.z,
+        c.aspect_ratio, c.inv_focal_length, c.focal_distance,
+        c.aperture_angle, (float)c.aperture_polygon, c.aperture_radius
+    };
+    write_array("camera", 'f', 4, {18}, cam_f);
+    const directional_light& l = gs.subframes[0].light;
+    float light_f[7] = {
+        l.direction.x, l.direction.y, l.direction.z,
+        l.color.x, l.color.y, l.color.z, l.cos_solid_angle
+    };
+    write_array("light", 'f', 4, {7}, light_f);
+    fclose(g_out);
+}
+
+// --------------------------------------------------------------- trace ----
+static void cmd_trace(
+    golden_scene& gs, const char* out_path,
+    int px_stride, int py_stride, int n_samples
+){
+    open_out(out_path);
+    std::vector<uint32_t> keys;
+    std::vector<float> radiance;
+    for(uint y = 0; y < IMAGE_HEIGHT; y += py_stride)
+    for(uint x = 0; x < IMAGE_WIDTH; x += px_stride)
+    for(int s = 0; s < n_samples; ++s)
+    {
+        float3 c = path_trace_pixel(
+            uint2{x, y}, s,
+            gs.subframes.data(), gs.instances.data(),
+            gs.bc.nodes.data(), gs.bc.links.data(),
+            gs.mb.indices.data(), gs.mb.pos.data(), gs.mb.normal.data(),
+            gs.mb.albedo.data(), gs.mb.material.data()
+        );
+        keys.push_back(x); keys.push_back(y); keys.push_back((uint32_t)s);
+        radiance.push_back(c.x); radiance.push_back(c.y); radiance.push_back(c.z);
+    }
+    uint64_t n = keys.size()/3;
+    write_array("keys", 'u', 4, { n, 3 }, keys.data());
+    write_array("radiance", 'f', 4, { n, 3 }, radiance.data());
+
+    // Tonemap goldens over a sweep of radiance values.
+    std::vector<float> tin;
+    std::vector<uint8_t> tout;
+    for(int i = 0; i < 64; ++i)
+    {
+        float v = i / 16.0f;
+        float3 col = {v, v*0.5f, 4.0f - v};
+        uchar4 o = tonemap_pixel(col);
+        tin.push_back(col.x); tin.push_back(col.y); tin.push_back(col.z);
+        tout.push_back(o.x); tout.push_back(o.y); tout.push_back(o.z); tout.push_back(o.w);
+    }
+    write_array("tonemap_in", 'f', 4, { tin.size()/3, 3 }, tin.data());
+    write_array("tonemap_out", 'u', 1, { tout.size()/4, 4 }, tout.data());
+    fclose(g_out);
+}
+
+// -------------------------------------------------------------- render ----
+static void cmd_render(golden_scene& gs, const char* out_path, int spp)
+{
+    open_out(out_path);
+    std::vector<float> colors(IMAGE_WIDTH*IMAGE_HEIGHT*3);
+    std::vector<uint8_t> image(IMAGE_WIDTH*IMAGE_HEIGHT*4);
+    #pragma omp parallel for
+    for(uint i = 0; i < IMAGE_WIDTH * IMAGE_HEIGHT; ++i)
+    {
+        uint x = i % IMAGE_WIDTH;
+        uint y = i / IMAGE_WIDTH;
+        float3 c = {0,0,0};
+        for(int j = 0; j < spp; ++j)
+        {
+            c += path_trace_pixel(
+                uint2{x, y}, j,
+                gs.subframes.data(), gs.instances.data(),
+                gs.bc.nodes.data(), gs.bc.links.data(),
+                gs.mb.indices.data(), gs.mb.pos.data(), gs.mb.normal.data(),
+                gs.mb.albedo.data(), gs.mb.material.data()
+            );
+        }
+        c /= (float)spp;
+        colors[i*3] = c.x; colors[i*3+1] = c.y; colors[i*3+2] = c.z;
+        uchar4 o = tonemap_pixel(c);
+        image[i*4] = o.x; image[i*4+1] = o.y; image[i*4+2] = o.z; image[i*4+3] = o.w;
+    }
+    uint64_t w = IMAGE_WIDTH, h = IMAGE_HEIGHT;
+    write_array("colors", 'f', 4, { h, w, 3 }, colors.data());
+    write_array("image_bgra", 'u', 1, { h, w, 4 }, image.data());
+    fclose(g_out);
+}
+
+int main(int argc, char** argv)
+{
+    setlocale(LC_ALL, "C");
+    if(argc < 3)
+    {
+        fprintf(stderr,
+            "usage:\n"
+            "  harness rng OUT\n"
+            "  harness mesh OBJ OUT\n"
+            "  harness blas OBJ OUT\n"
+            "  harness scene DATA_DIR GROUND_OBJ OUT\n"
+            "  harness trace DATA_DIR GROUND_OBJ OUT XSTRIDE YSTRIDE NSAMPLES\n"
+            "  harness render DATA_DIR GROUND_OBJ OUT SPP\n");
+        return 1;
+    }
+    std::string cmd = argv[1];
+    if(cmd == "rng") cmd_rng(argv[2]);
+    else if(cmd == "mesh") cmd_mesh(argv[2], argv[3]);
+    else if(cmd == "blas") cmd_blas(argv[2], argv[3]);
+    else if(cmd == "scene")
+    {
+        golden_scene gs = build_golden_scene(argv[2], argv[3]);
+        dump_scene(gs, argv[4]);
+    }
+    else if(cmd == "trace")
+    {
+        golden_scene gs = build_golden_scene(argv[2], argv[3]);
+        cmd_trace(gs, argv[4], atoi(argv[5]), atoi(argv[6]), atoi(argv[7]));
+    }
+    else if(cmd == "render")
+    {
+        golden_scene gs = build_golden_scene(argv[2], argv[3]);
+        cmd_render(gs, argv[4], atoi(argv[5]));
+    }
+    else { fprintf(stderr, "unknown command %s\n", cmd.c_str()); return 1; }
+    return 0;
+}
