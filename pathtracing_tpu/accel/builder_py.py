@@ -173,8 +173,8 @@ def _save_links(signs, branch: _BuildNode, cancel: int, links: np.ndarray):
         _save_links(signs, child, next_index, links)
 
 
-def _build_generic(lmin, lmax, lidx, bc: BvhBuffers) -> BvhHandle:
-    """reference: bvh.cc:195-229."""
+def build_from_leaves_py(lmin, lmax, lidx):
+    """Pure-numpy build: leaves -> (nodes (N,6) f32, links (8N,2) u32)."""
     import sys
 
     if sys.getrecursionlimit() < 100000:
@@ -194,14 +194,27 @@ def _build_generic(lmin, lmax, lidx, bc: BvhBuffers) -> BvhHandle:
         _save_links(
             signs, root, np.uint32(0xFFFFFFFF), links[octant * n : (octant + 1) * n]
         )
+    return nodes, links
+
+
+def build_from_leaves(lmin, lmax, lidx):
+    """Native C++ builder when available, numpy otherwise (same output)."""
+    from pathtracing_tpu.accel.native import build_bvh_native
+
+    result = build_bvh_native(lmin, lmax, lidx)
+    if result is not None:
+        return result
+    return build_from_leaves_py(lmin, lmax, lidx)
+
+
+def _build_generic(lmin, lmax, lidx, bc: BvhBuffers) -> BvhHandle:
+    """reference: bvh.cc:195-229."""
+    nodes, links = build_from_leaves(lmin, lmax, lidx)
     return bc.append(nodes, links)
 
 
-def build_blas(mesh, mesh_bufs, bc: BvhBuffers) -> BvhHandle:
-    """One leaf per triangle AABB (reference: bvh.cc:231-250).
-
-    ``mesh_bufs`` is (indices, pos, ...) flat arrays from MeshBuffers.arrays().
-    """
+def compute_blas_leaves(mesh, mesh_bufs):
+    """Triangle AABB leaves for a mesh (reference: bvh.cc:233-248)."""
     indices, pos = mesh_bufs[0], mesh_bufs[1]
     tri = indices[
         mesh.index_offset : mesh.index_offset + mesh.triangle_count * 3
@@ -210,6 +223,15 @@ def build_blas(mesh, mesh_bufs, bc: BvhBuffers) -> BvhHandle:
     lmin = p.min(axis=1).astype(f32)
     lmax = p.max(axis=1).astype(f32)
     lidx = np.arange(mesh.triangle_count, dtype=np.uint32)
+    return lmin, lmax, lidx
+
+
+def build_blas(mesh, mesh_bufs, bc: BvhBuffers) -> BvhHandle:
+    """One leaf per triangle AABB (reference: bvh.cc:231-250).
+
+    ``mesh_bufs`` is (indices, pos, ...) flat arrays from MeshBuffers.arrays().
+    """
+    lmin, lmax, lidx = compute_blas_leaves(mesh, mesh_bufs)
     return _build_generic(lmin, lmax, lidx, bc)
 
 
