@@ -1,0 +1,373 @@
+"""Wavefront two-level BVH traversal (device).
+
+Re-expresses the reference's incremental ray-query state machine
+(reference: ray_query.hh:111-290) as a batched ``lax.while_loop``: every VPU
+lane carries one ray's traversal state (current node, BLAS context, shrinking
+tmax, closest hit) and each iteration performs one node visit per lane —
+slab test, stackless link follow, TLAS→BLAS descent, or watertight triangle
+test. Rays that finish are masked out until the whole wave drains.
+
+Differences from the reference are layout-only: nodes/links/vertices live in
+flat SoA tables gathered per lane; semantics (confirm-all closest-hit,
+first-candidate any-hit, octant link selection, tmax shrinking) are
+bit-faithful and golden-tested against the oracle in tests/test_traversal.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracing_tpu.utils.vec import Vec3, cross, dot3, fabs3, where3
+
+Array = Any
+
+_LEAF_MASK = np.int32(0x7FFFFFFF)
+_BIG = np.float32(np.inf)  # C writes 1e40 into a float => +inf
+
+
+class RayHit(NamedTuple):
+    """Closest-hit record (reference: ray_query.hh:24-35)."""
+
+    thit: Array       # < 0 => miss
+    bary_u: Array
+    bary_v: Array
+    bary_w: Array
+    inst: Array       # int32; -1 (0xFFFFFFFF) => none
+    prim: Array
+    back: Array       # bool
+
+
+def _safe_inv(d: Vec3) -> Vec3:
+    """1/dir with zero components replaced (reference: ray_query.hh:130-133)."""
+    return Vec3(
+        jnp.where(d.x == 0, _BIG, 1.0 / d.x),
+        jnp.where(d.y == 0, _BIG, 1.0 / d.y),
+        jnp.where(d.z == 0, _BIG, 1.0 / d.z),
+    )
+
+
+def _octant(d: Vec3) -> Array:
+    """Link-table selector from direction signs (reference: ray_query.hh:135-138)."""
+    return (
+        (d.x > 0).astype(jnp.int32)
+        + (d.y > 0).astype(jnp.int32) * 2
+        + (d.z > 0).astype(jnp.int32) * 4
+    )
+
+
+def _tri_preprocess(d: Vec3):
+    """Woop max-axis permutation + shear constants
+    (reference: math.hh:340-356). Returns (axis int32, S Vec3)."""
+    a = fabs3(d)
+    is0 = jnp.logical_and(a.x > a.y, a.x > a.z)
+    is1 = jnp.logical_and(jnp.logical_not(is0), a.y > a.z)
+    axis = jnp.where(is0, 0, jnp.where(is1, 1, 2)).astype(jnp.int32)
+    rdir = Vec3(
+        jnp.where(is0, d.z, d.x),
+        jnp.where(is1, d.z, d.y),
+        jnp.where(is0, d.x, jnp.where(is1, d.y, d.z)),
+    )
+    inv_z = 1.0 / rdir.z
+    return axis, Vec3(rdir.x * inv_z, rdir.y * inv_z, jnp.ones_like(inv_z) * inv_z)
+
+
+def _tri_intersect(origin: Vec3, axis, S: Vec3, p0: Vec3, p1: Vec3, p2: Vec3):
+    """Watertight ray-triangle test (reference: math.hh:358-401).
+
+    Returns (hit bool, u, v, t, back_face bool).
+    """
+    A = p0 - origin
+    B = p1 - origin
+    C = p2 - origin
+    x = Vec3(A.x, B.x, C.x)
+    y = Vec3(A.y, B.y, C.y)
+    z = Vec3(A.z, B.z, C.z)
+    is0 = axis == 0
+    is1 = axis == 1
+    x2 = where3(is0, z, x)
+    y2 = where3(is1, z, y)
+    z2 = where3(is0, x, where3(is1, y, z))
+    x3 = x2 - S.x * z2
+    y3 = y2 - S.y * z2
+    uvw = cross(y3, x3)
+    det = uvw.x + uvw.y + uvw.z
+    inv_det = 1.0 / det
+    u = uvw.x * inv_det
+    v = uvw.y * inv_det
+    t = dot3(uvw, S.z * z2) * inv_det
+    back = det < 0
+    back = jnp.logical_xor(back, S.z < 0)
+    back = jnp.logical_xor(back, axis != 2)
+    all_pos = (uvw.x >= 0) & (uvw.y >= 0) & (uvw.z >= 0)
+    all_neg = (uvw.x <= 0) & (uvw.y <= 0) & (uvw.z <= 0)
+    hit = (det != 0) & (t >= 0) & (all_pos | all_neg)
+    return hit, u, v, t, back
+
+
+class _TravState(NamedTuple):
+    # TLAS context (origin/dir/inv are loop-invariant, kept outside)
+    t_node: Array
+    # BLAS context
+    in_blas: Array
+    b_node: Array
+    b_count: Array
+    b_offset: Array
+    b_link_offset: Array
+    b_org_x: Array
+    b_org_y: Array
+    b_org_z: Array
+    b_inv_x: Array
+    b_inv_y: Array
+    b_inv_z: Array
+    b_S_x: Array
+    b_S_y: Array
+    b_S_z: Array
+    b_axis: Array
+    m_index_offset: Array
+    m_base_vertex: Array
+    cand_inst: Array
+    # query state
+    done: Array
+    tmax: Array
+    occluded: Array
+    # closest hit
+    c_thit: Array
+    c_u: Array
+    c_v: Array
+    c_inst: Array
+    c_prim: Array
+    c_back: Array
+
+
+def _slab_hit(nmin: Vec3, nmax: Vec3, org: Vec3, inv: Vec3, tmin, tmax):
+    """AABB slab test with C fmin/fmax NaN semantics
+    (reference: ray_query.hh:197-207)."""
+    t0x = (nmin.x - org.x) * inv.x
+    t0y = (nmin.y - org.y) * inv.y
+    t0z = (nmin.z - org.z) * inv.z
+    t1x = (nmax.x - org.x) * inv.x
+    t1y = (nmax.y - org.y) * inv.y
+    t1z = (nmax.z - org.z) * inv.z
+    near = jnp.fmax(jnp.fmin(t0x, t1x), jnp.fmax(jnp.fmin(t0y, t1y), jnp.fmin(t0z, t1z)))
+    far = jnp.fmin(jnp.fmax(t0x, t1x), jnp.fmin(jnp.fmax(t0y, t1y), jnp.fmax(t0z, t1z)))
+    return (near <= far) & (far > tmin) & (near < tmax)
+
+
+def ray_query(
+    scene,
+    tlas_count: Array,
+    tlas_offset: Array,
+    org: Vec3,
+    d: Vec3,
+    tmin: float,
+    tmax0,
+    active: Array,
+    anyhit: bool = False,
+    max_steps: int | None = None,
+    return_state: bool = False,
+):
+    """Trace a batch of rays to completion.
+
+    scene: SceneDevice (scene/device.py). tlas_count/offset: per-ray TLAS
+    handles (int32). active: lanes that should trace at all.
+    Closest-hit mode confirms every candidate (reference:
+    path_tracer.hh:346-349); anyhit stops a lane at its first passing
+    candidate (reference: path_tracer.hh:415-427).
+    Returns (RayHit, occluded).
+    """
+    R = org.x.shape
+    i32 = lambda v: jnp.full(R, v, jnp.int32)
+    f32 = lambda v: jnp.full(R, v, jnp.float32)
+
+    t_inv = _safe_inv(d)
+    t_link_offset = tlas_offset * 8 + _octant(d) * tlas_count
+    tmin = jnp.float32(tmin)
+    if not isinstance(tmax0, jnp.ndarray):
+        tmax0 = f32(tmax0)
+
+    state = _TravState(
+        t_node=i32(0),
+        in_blas=jnp.zeros(R, bool),
+        b_node=i32(0),
+        b_count=i32(0),
+        b_offset=i32(0),
+        b_link_offset=i32(0),
+        b_org_x=f32(0), b_org_y=f32(0), b_org_z=f32(0),
+        b_inv_x=f32(0), b_inv_y=f32(0), b_inv_z=f32(0),
+        b_S_x=f32(0), b_S_y=f32(0), b_S_z=f32(0),
+        b_axis=i32(2),
+        m_index_offset=i32(0),
+        m_base_vertex=i32(0),
+        cand_inst=i32(-1),
+        done=jnp.logical_not(active),
+        tmax=tmax0,
+        occluded=jnp.zeros(R, bool),
+        c_thit=f32(-1.0),
+        c_u=f32(0), c_v=f32(0),
+        c_inst=i32(-1),
+        c_prim=i32(0),
+        c_back=jnp.zeros(R, bool),
+    )
+
+    def cond(carry):
+        s, step = carry
+        alive = jnp.any(jnp.logical_not(s.done))
+        if max_steps is None:
+            return alive
+        return jnp.logical_and(alive, step < max_steps)
+
+    def body(carry):
+        s, step = carry
+        count = jnp.where(s.in_blas, s.b_count, tlas_count)
+        offset = jnp.where(s.in_blas, s.b_offset, tlas_offset)
+        node_idx = jnp.where(s.in_blas, s.b_node, s.t_node)
+        link_off = jnp.where(s.in_blas, s.b_link_offset, t_link_offset)
+
+        in_range = (node_idx >= 0) & (node_idx < count)
+        valid = in_range & jnp.logical_not(s.done)
+        exhausted = jnp.logical_not(in_range) & jnp.logical_not(s.done)
+        # TLAS exhausted => done; BLAS exhausted => pop to TLAS
+        # (reference: ray_query.hh:271-275).
+        done = s.done | (exhausted & jnp.logical_not(s.in_blas))
+        in_blas = s.in_blas & jnp.logical_not(exhausted)
+        valid = valid & jnp.logical_not(exhausted)
+
+        gidx = jnp.where(valid, offset + node_idx, 0)
+        nmin = Vec3(
+            scene.node_min_x[gidx], scene.node_min_y[gidx], scene.node_min_z[gidx]
+        )
+        nmax = Vec3(
+            scene.node_max_x[gidx], scene.node_max_y[gidx], scene.node_max_z[gidx]
+        )
+        lidx = jnp.where(valid, link_off + node_idx, 0)
+        accept = scene.link_accept[lidx]
+        cancel = scene.link_cancel[lidx]
+
+        o = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), org)
+        inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), t_inv)
+
+        hit = _slab_hit(nmin, nmax, o, inv, tmin, s.tmax)
+        is_leaf = accept < 0  # top bit set (reference: bvh.hh:57-63)
+        payload = accept & _LEAF_MASK
+        next_idx = jnp.where(hit & jnp.logical_not(is_leaf), accept, cancel)
+
+        t_node = jnp.where(valid & jnp.logical_not(in_blas), next_idx, s.t_node)
+        b_node = jnp.where(valid & in_blas, next_idx, s.b_node)
+
+        leaf_hit = valid & hit & is_leaf
+        enter = leaf_hit & jnp.logical_not(in_blas)
+        test = leaf_hit & in_blas
+
+        # ---- enter BLAS (reference: ray_query.hh:153-182) ----
+        iidx = jnp.where(enter, payload, 0)
+        fi = scene.inst_f[iidx]  # (R, 21): inv cols (12) + rot (9)
+        ui = scene.inst_u[iidx]  # (R, 4)
+        bo = Vec3(
+            fi[:, 0] * org.x + fi[:, 3] * org.y + fi[:, 6] * org.z + fi[:, 9],
+            fi[:, 1] * org.x + fi[:, 4] * org.y + fi[:, 7] * org.z + fi[:, 10],
+            fi[:, 2] * org.x + fi[:, 5] * org.y + fi[:, 8] * org.z + fi[:, 11],
+        )
+        bd = Vec3(
+            fi[:, 0] * d.x + fi[:, 3] * d.y + fi[:, 6] * d.z,
+            fi[:, 1] * d.x + fi[:, 4] * d.y + fi[:, 7] * d.z,
+            fi[:, 2] * d.x + fi[:, 5] * d.y + fi[:, 8] * d.z,
+        )
+        binv = _safe_inv(bd)
+        boct = _octant(bd)
+        baxis, bS = _tri_preprocess(bd)
+        blink = ui[:, 1] * 8 + boct * ui[:, 0]
+
+        def upd(old, new, mask=enter):
+            return jnp.where(mask, new, old)
+
+        b_count = upd(s.b_count, ui[:, 0])
+        b_offset = upd(s.b_offset, ui[:, 1])
+        m_index_offset = upd(s.m_index_offset, ui[:, 2])
+        m_base_vertex = upd(s.m_base_vertex, ui[:, 3])
+        b_link_offset = upd(s.b_link_offset, blink)
+        b_org = where3(enter, bo, Vec3(s.b_org_x, s.b_org_y, s.b_org_z))
+        b_inv = where3(enter, binv, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z))
+        b_S = where3(enter, bS, Vec3(s.b_S_x, s.b_S_y, s.b_S_z))
+        b_axis = upd(s.b_axis, baxis)
+        b_node = jnp.where(enter, 0, b_node)
+        cand_inst = upd(s.cand_inst, payload)
+        in_blas = in_blas | enter
+
+        # ---- triangle test (reference: ray_query.hh:225-246) ----
+        tri_base = jnp.where(test, m_index_offset + payload * 3, 0)
+        i0 = scene.tri[tri_base]
+        i1 = scene.tri[tri_base + 1]
+        i2 = scene.tri[tri_base + 2]
+        v0 = jnp.where(test, m_base_vertex + i0, 0)
+        v1 = jnp.where(test, m_base_vertex + i1, 0)
+        v2 = jnp.where(test, m_base_vertex + i2, 0)
+        p0 = Vec3(scene.pos_x[v0], scene.pos_y[v0], scene.pos_z[v0])
+        p1 = Vec3(scene.pos_x[v1], scene.pos_y[v1], scene.pos_z[v1])
+        p2 = Vec3(scene.pos_x[v2], scene.pos_y[v2], scene.pos_z[v2])
+        thit_ok, tu, tv, tt, tback = _tri_intersect(
+            b_org, b_axis, b_S, p0, p1, p2
+        )
+        confirmed = test & thit_ok & (tt < s.tmax) & (tt > tmin)
+
+        if anyhit:
+            occluded = s.occluded | confirmed
+            done = done | confirmed
+            c_thit, c_u, c_v = s.c_thit, s.c_u, s.c_v
+            c_inst, c_prim, c_back = s.c_inst, s.c_prim, s.c_back
+            tmax = s.tmax
+        else:
+            # confirm every candidate (reference: path_tracer.hh:346-349,
+            # ray_query.hh:280-290)
+            occluded = s.occluded
+            c_thit = jnp.where(confirmed, tt, s.c_thit)
+            c_u = jnp.where(confirmed, tu, s.c_u)
+            c_v = jnp.where(confirmed, tv, s.c_v)
+            c_inst = jnp.where(confirmed, cand_inst, s.c_inst)
+            c_prim = jnp.where(confirmed, payload, s.c_prim)
+            c_back = jnp.where(confirmed, tback, s.c_back)
+            tmax = jnp.where(confirmed, tt, s.tmax)
+
+        new_state = _TravState(
+            t_node=t_node,
+            in_blas=in_blas,
+            b_node=b_node,
+            b_count=b_count,
+            b_offset=b_offset,
+            b_link_offset=b_link_offset,
+            b_org_x=b_org.x, b_org_y=b_org.y, b_org_z=b_org.z,
+            b_inv_x=b_inv.x, b_inv_y=b_inv.y, b_inv_z=b_inv.z,
+            b_S_x=b_S.x, b_S_y=b_S.y, b_S_z=b_S.z,
+            b_axis=b_axis,
+            m_index_offset=m_index_offset,
+            m_base_vertex=m_base_vertex,
+            cand_inst=cand_inst,
+            done=done,
+            tmax=tmax,
+            occluded=occluded,
+            c_thit=c_thit,
+            c_u=c_u,
+            c_v=c_v,
+            c_inst=c_inst,
+            c_prim=c_prim,
+            c_back=c_back,
+        )
+        return new_state, step + 1
+
+    final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    if return_state:
+        return final
+
+    hit = RayHit(
+        thit=final.c_thit,
+        bary_u=final.c_u,
+        bary_v=final.c_v,
+        bary_w=1.0 - final.c_u - final.c_v,
+        inst=final.c_inst,
+        prim=final.c_prim,
+        back=final.c_back,
+    )
+    return hit, final.occluded

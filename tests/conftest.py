@@ -6,7 +6,8 @@ exercised without TPU hardware (SURVEY.md §4). Must run before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests always run on CPU (the ambient env may preset a TPU platform).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep f32 exactly f32 on CPU (no TF32-style shenanigans in tests).
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+# The ambient environment pins jax_platforms to the axon TPU plugin; the env
+# var alone does not override it, the config call does.
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

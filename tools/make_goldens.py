@@ -59,7 +59,7 @@ def build_oracle() -> str:
         ):
             run(
                 [
-                    "g++", "-O2", "-std=c++17", "-fopenmp", "-I" + REF,
+                    "g++", "-O2", "-std=c++17", "-fopenmp", "-ffp-contract=off", "-I" + REF,
                     "-c", os.path.join(REF, src), "-o", obj,
                 ]
             )
@@ -69,7 +69,7 @@ def build_oracle() -> str:
     if not os.path.exists(harness) or os.path.getmtime(harness) < os.path.getmtime(src):
         run(
             [
-                "g++", "-O2", "-std=c++17", "-fopenmp", "-I" + REF,
+                "g++", "-O2", "-std=c++17", "-fopenmp", "-ffp-contract=off", "-I" + REF,
                 src, *objs, "-o", harness,
             ]
         )
@@ -99,6 +99,7 @@ def main():
     run([harness, "blas", os.path.join(data, "rock0.obj"), os.path.join(GOLD, "blas_rock0.gold")])
     run([harness, "blas", os.path.join(data, "teapot.obj"), os.path.join(GOLD, "blas_teapot.gold")])
     run([harness, "scene", data, ground, os.path.join(GOLD, "scene.gold")])
+    run([harness, "rays", data, ground, os.path.join(GOLD, "rays.gold"), "4096"])
     run([harness, "trace", data, ground, os.path.join(GOLD, "trace.gold"), "40", "40", "4"])
     if not args.skip_render:
         run([

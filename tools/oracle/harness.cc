@@ -308,6 +308,67 @@ static void cmd_trace(
     fclose(g_out);
 }
 
+// ---------------------------------------------------------------- rays ----
+// Deterministic ray batch traced with closest-hit (confirm-all) and any-hit
+// semantics, for traversal-only golden tests.
+static void cmd_rays(golden_scene& gs, const char* out_path, int n_rays)
+{
+    open_out(out_path);
+    uint4 seed = {9, 8, 7, 6};
+    std::vector<float> origins, dirs, thit, bary;
+    std::vector<uint32_t> inst, prim, back, occluded;
+    for(int i = 0; i < n_rays; ++i)
+    {
+        float4 u = generate_uniform_random4(&seed);
+        float4 v = generate_uniform_random4(&seed);
+        float3 org = {u.x*24.0f-12.0f, u.y*10.0f+0.2f, u.z*24.0f-12.0f};
+        float ct = v.x*2.0f-1.0f;
+        float st = sqrt(fmax(0.0f, 1.0f-ct*ct));
+        float phi = v.y*2.0f*(float)M_PI;
+        float3 dir = {st*cos(phi), ct, st*sin(phi)};
+
+        pt_context ctx;
+        ctx.tlas = gs.tlas;
+        ctx.instances = gs.instances.data();
+        ctx.node_array = gs.bc.nodes.data();
+        ctx.link_array = gs.bc.links.data();
+        ctx.mesh_indices = gs.mb.indices.data();
+        ctx.mesh_pos = gs.mb.pos.data();
+
+        ray_query rq = ray_query_initialize(
+            ctx.tlas, ctx.instances, ctx.node_array, ctx.link_array,
+            ctx.mesh_indices, ctx.mesh_pos, org, dir, 0.0f, 1e9f
+        );
+        while(ray_query_proceed(&rq)) ray_query_confirm(&rq);
+
+        origins.push_back(org.x); origins.push_back(org.y); origins.push_back(org.z);
+        dirs.push_back(dir.x); dirs.push_back(dir.y); dirs.push_back(dir.z);
+        thit.push_back(rq.closest.thit);
+        bary.push_back(rq.closest.barycentrics.x);
+        bary.push_back(rq.closest.barycentrics.y);
+        bary.push_back(rq.closest.barycentrics.z);
+        inst.push_back(rq.closest.instance_id);
+        prim.push_back(rq.closest.primitive_id);
+        back.push_back(rq.closest.back_face ? 1 : 0);
+
+        ray_query rq2 = ray_query_initialize(
+            ctx.tlas, ctx.instances, ctx.node_array, ctx.link_array,
+            ctx.mesh_indices, ctx.mesh_pos, org, dir, 1e-4f, 1e9f
+        );
+        occluded.push_back(ray_query_proceed(&rq2) ? 1 : 0);
+    }
+    uint64_t n = (uint64_t)n_rays;
+    write_array("origins", 'f', 4, { n, 3 }, origins.data());
+    write_array("dirs", 'f', 4, { n, 3 }, dirs.data());
+    write_array("thit", 'f', 4, { n }, thit.data());
+    write_array("bary", 'f', 4, { n, 3 }, bary.data());
+    write_array("inst", 'u', 4, { n }, inst.data());
+    write_array("prim", 'u', 4, { n }, prim.data());
+    write_array("back", 'u', 4, { n }, back.data());
+    write_array("occluded", 'u', 4, { n }, occluded.data());
+    fclose(g_out);
+}
+
 // -------------------------------------------------------------- render ----
 static void cmd_render(golden_scene& gs, const char* out_path, int spp)
 {
@@ -369,6 +430,11 @@ int main(int argc, char** argv)
     {
         golden_scene gs = build_golden_scene(argv[2], argv[3]);
         cmd_trace(gs, argv[4], atoi(argv[5]), atoi(argv[6]), atoi(argv[7]));
+    }
+    else if(cmd == "rays")
+    {
+        golden_scene gs = build_golden_scene(argv[2], argv[3]);
+        cmd_rays(gs, argv[4], atoi(argv[5]));
     }
     else if(cmd == "render")
     {
