@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Benchmark: golden-scene render throughput on the available device.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline anchor: the reference C++ renderer (OpenMP, this machine's CPU,
+compiled -O2 -fopenmp) renders the identical golden scene at
+640x360 @ 8 spp in 1.35 s => 1.36 Msamples/s (measured 2026-08-17 via
+tools/oracle/harness render; reference hot loop = main.cc:16-44).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import pathlib
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).parent
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tests"))
+
+CPU_BASELINE_MSAMPLES_S = 1.36
+
+
+def main():
+    from pathtracing_tpu.config import TESTING
+    from pathtracing_tpu.render import render_pixels
+    from pathtracing_tpu.utils.goldenio import load_golden
+    from golden_scene import scene_device_from_golden
+
+    scene = scene_device_from_golden(
+        load_golden(str(_REPO / "tests" / "golden" / "scene.gold"))
+    )
+
+    W, H = TESTING.image_width, TESTING.image_height
+    spp = 8
+    idx = np.arange(W * H, dtype=np.int32)
+    xs, ys = idx % W, idx // W
+
+    # warmup/compile on a tile
+    render_pixels(TESTING, scene, xs[: 1 << 15], ys[: 1 << 15], spp=spp)
+
+    t0 = time.perf_counter()
+    colors = render_pixels(TESTING, scene, xs, ys, spp=spp)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(colors).all()
+
+    msamples_s = W * H * spp / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "golden_scene_render_throughput",
+                "value": round(msamples_s, 4),
+                "unit": "Msamples/s",
+                "vs_baseline": round(msamples_s / CPU_BASELINE_MSAMPLES_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,349 @@
+"""The path-tracing integrator (reference: path_tracer.hh:594-741).
+
+``path_trace_samples`` computes a batch of per-sample radiance values with
+bit-faithful RNG threading: one warm-up PCG4D step, one film/aperture draw,
+then per bounce an NEE draw, a BSDF draw, and a *conditional* atmosphere
+draw — lanes that miss or terminate stop consuming their counters exactly
+like the reference's scalar control flow (SURVEY.md §3.2).
+
+The bounce loop is unrolled (MAX_BOUNCES is static); every bounce runs one
+wavefront closest-hit trace and one any-hit shadow trace over the whole
+batch with inactive lanes masked.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracing_tpu.config import RenderConfig
+from pathtracing_tpu.ops import rng
+from pathtracing_tpu.ops.bsdf import bsdf_eval, sample_bsdf
+from pathtracing_tpu.ops.camera import camera_from_table, get_camera_ray
+from pathtracing_tpu.ops.samplers import sample_cone, sample_gaussian_weighted_disk
+from pathtracing_tpu.ops.sky import atmosphere_attenuation, atmosphere_scattering
+from pathtracing_tpu.ops.traversal import ray_query
+from pathtracing_tpu.utils.vec import (
+    Mat3,
+    Vec2,
+    Vec3,
+    create_tangent_space,
+    dot3,
+    normalize3,
+    where3,
+)
+
+Array = Any
+f32 = np.float32
+_PI = f32(np.pi)
+_IOR = f32(1.5)
+
+
+class LightParams(NamedTuple):
+    direction: Vec3
+    color: Vec3
+    cos_solid_angle: Array
+
+
+def light_from_table(sf_light: Array, idx: Array) -> LightParams:
+    l = sf_light[idx]
+    return LightParams(
+        direction=Vec3(l[:, 0], l[:, 1], l[:, 2]),
+        color=Vec3(l[:, 3], l[:, 4], l[:, 5]),
+        cos_solid_angle=l[:, 6],
+    )
+
+
+class HitInfo(NamedTuple):
+    """reference: path_tracer.hh:321-338."""
+
+    thit: Array
+    pos: Vec3
+    tbn: Mat3
+    albedo: Vec3
+    alpha: Array
+    roughness: Array
+    metallic: Array
+    emission: Array
+    transmission: Array
+    eta: Array
+    nee_pdf: Array
+
+
+def trace_ray(
+    scene,
+    light: LightParams,
+    tlas_count,
+    tlas_offset,
+    origin: Vec3,
+    d: Vec3,
+    tmin,
+    active,
+) -> HitInfo:
+    """Closest-hit trace + shading fetch (reference: path_tracer.hh:340-412)."""
+    hit, _ = ray_query(
+        scene, tlas_count, tlas_offset, origin, d, tmin, 1e9, active
+    )
+
+    miss = hit.thit < 0
+
+    # ---- miss: sun disk (reference: path_tracer.hh:356-366) ----
+    visible = (dot3(light.direction, d) > light.cos_solid_angle).astype(
+        jnp.float32
+    )
+    miss_nee_pdf = visible / (2.0 * _PI * (1.0 - light.cos_solid_angle))
+    sun_scale = jnp.where(miss_nee_pdf == 0.0, jnp.float32(1.0), miss_nee_pdf)
+    miss_albedo = light.color * (visible * sun_scale)
+
+    # ---- hit: interpolate vertex attributes ----
+    iidx = jnp.where(miss, 0, hit.inst)
+    ui = scene.inst_u[iidx]
+    fi = scene.inst_f[iidx]
+    tri_base = ui[:, 2] + jnp.where(miss, 0, hit.prim) * 3
+    i0 = ui[:, 3] + scene.tri[tri_base]
+    i1 = ui[:, 3] + scene.tri[tri_base + 1]
+    i2 = ui[:, 3] + scene.tri[tri_base + 2]
+
+    def gather3(tx, ty, tz, i):
+        return Vec3(tx[i], ty[i], tz[i])
+
+    bu, bv, bw = hit.bary_u, hit.bary_v, hit.bary_w
+    n0 = gather3(scene.nrm_x, scene.nrm_y, scene.nrm_z, i0)
+    n1 = gather3(scene.nrm_x, scene.nrm_y, scene.nrm_z, i1)
+    n2 = gather3(scene.nrm_x, scene.nrm_y, scene.nrm_z, i2)
+    n = n0 * bu + n1 * bv + n2 * bw
+
+    alb = (
+        gather3(scene.alb_r, scene.alb_g, scene.alb_b, i0) * bu
+        + gather3(scene.alb_r, scene.alb_g, scene.alb_b, i1) * bv
+        + gather3(scene.alb_r, scene.alb_g, scene.alb_b, i2) * bw
+    )
+    alpha = scene.alb_a[i0] * bu + scene.alb_a[i1] * bv + scene.alb_a[i2] * bw
+    mat_r = scene.mat_r[i0] * bu + scene.mat_r[i1] * bv + scene.mat_r[i2] * bw
+    mat_m = scene.mat_m[i0] * bu + scene.mat_m[i1] * bv + scene.mat_m[i2] * bw
+    mat_t = scene.mat_t[i0] * bu + scene.mat_t[i1] * bv + scene.mat_t[i2] * bw
+    mat_e = scene.mat_e[i0] * bu + scene.mat_e[i1] * bv + scene.mat_e[i2] * bw
+
+    # rotate normal to world: mul_m3v3(rot, n) with rot = transform 3x3
+    # (reference: path_tracer.hh:371,392)
+    nw = Vec3(
+        fi[:, 12] * n.x + fi[:, 15] * n.y + fi[:, 18] * n.z,
+        fi[:, 13] * n.x + fi[:, 16] * n.y + fi[:, 19] * n.z,
+        fi[:, 14] * n.x + fi[:, 17] * n.y + fi[:, 20] * n.z,
+    )
+    nw = normalize3(nw)
+
+    # IOR 1.5; back-face flips the normal (reference: path_tracer.hh:394-400)
+    eta = jnp.where(hit.back, _IOR, 1.0 / _IOR)
+    nw = where3(hit.back, -nw, nw)
+
+    tbn = create_tangent_space(nw)
+    pos = origin + d * hit.thit
+
+    zero = jnp.zeros_like(hit.thit)
+    return HitInfo(
+        thit=hit.thit,
+        pos=pos,
+        tbn=tbn,
+        albedo=where3(miss, miss_albedo, alb),
+        alpha=jnp.where(miss, zero, alpha),
+        roughness=jnp.where(miss, zero, mat_r * mat_r),
+        metallic=jnp.where(miss, zero, mat_m),
+        emission=jnp.where(miss, jnp.ones_like(zero), mat_e),
+        transmission=jnp.where(miss, zero, mat_t),
+        eta=jnp.where(miss, jnp.ones_like(zero), eta),
+        nee_pdf=jnp.where(miss, miss_nee_pdf, zero),
+    )
+
+
+def nee_branch(
+    seed: rng.Seed,
+    scene,
+    light: LightParams,
+    tlas_count,
+    tlas_offset,
+    info: HitInfo,
+    tview: Vec3,
+    active,
+    config: RenderConfig,
+):
+    """Next-event estimation toward the sun (reference: path_tracer.hh:594-620).
+
+    Returns (seed, color Vec3). Inactive lanes draw nothing and add nothing.
+    """
+    seed, u = rng.uniform4_masked(seed, active)
+    light_dir = sample_cone(
+        light.direction, light.cos_solid_angle, Vec2(u.x, u.y)
+    )
+    nee_pdf = 1.0 / (2.0 * _PI * (1.0 - light.cos_solid_angle))
+
+    tlight = info.tbn.vec_mul(light_dir)  # mul_v3m3(light_dir, tbn)
+    color, bsdf_pdf = bsdf_eval(
+        tlight, tview, info.albedo, info.roughness, info.metallic,
+        info.transmission, info.eta,
+    )
+    color = color * nee_pdf * light.color
+
+    black = (color.x == 0) & (color.y == 0) & (color.z == 0)
+    # Shadow ray only decides occlusion; lanes already black skip tracing
+    # (reference: path_tracer.hh:606-609 short-circuit has no RNG).
+    shadow_active = active & jnp.logical_not(black)
+    _, occluded = ray_query(
+        scene, tlas_count, tlas_offset, info.pos, light_dir,
+        config.min_ray_dist, config.max_ray_dist, shadow_active, anyhit=True,
+    )
+    dead = black | occluded
+
+    mis_pdf = jnp.where(
+        light.cos_solid_angle < 1.0,
+        (nee_pdf * nee_pdf + bsdf_pdf * bsdf_pdf) / nee_pdf,
+        jnp.float32(1.0),
+    )
+
+    color = color * atmosphere_attenuation(
+        u.w, info.pos, light_dir, jnp.full_like(u.w, config.max_ray_dist)
+    )
+    color = color / mis_pdf
+
+    zero = jnp.zeros_like(color.x)
+    live = active & jnp.logical_not(dead)
+    return seed, where3(live, color, Vec3(zero, zero, zero))
+
+
+def path_trace_samples(
+    config: RenderConfig,
+    scene,
+    xs: Array,
+    ys: Array,
+    sample_index: Array,
+) -> Vec3:
+    """One radiance sample per lane (reference: path_tracer.hh:637-741).
+
+    xs, ys: pixel coordinates (int32); sample_index: int32 (negative =>
+    subframe 0, reference: path_tracer.hh:655-657).
+    """
+    subframe = jnp.where(
+        sample_index < 0,
+        0,
+        sample_index // config.samples_per_motion_blur_step,
+    ).astype(jnp.int32)
+
+    seed = rng.Seed(
+        xs.astype(jnp.uint32),
+        ys.astype(jnp.uint32),
+        sample_index.astype(jnp.uint32),
+        jnp.full_like(xs, config.student_id).astype(jnp.uint32),
+    )
+    seed = rng.pcg4d(seed)  # warm-up (reference: path_tracer.hh:660)
+
+    seed, u = rng.uniform4(seed)
+
+    film = sample_gaussian_weighted_disk(Vec2(u.x, u.y), f32(0.4)) + 0.5
+
+    cam = camera_from_table(scene.sf_cam, subframe)
+    light = light_from_table(scene.sf_light, subframe)
+    tlas_count = scene.sf_tlas_count[subframe]
+    tlas_offset = scene.sf_tlas_offset[subframe]
+
+    coord = Vec2(
+        xs.astype(jnp.float32) + film.x, ys.astype(jnp.float32) + film.y
+    )
+    ray_dir, ray_o = get_camera_ray(
+        cam, Vec2(u.z, u.w), coord, config.image_width, config.image_height
+    )
+
+    all_active = jnp.ones_like(xs, dtype=bool)
+    info = trace_ray(
+        scene, light, tlas_count, tlas_offset, ray_o, ray_dir, 0.0, all_active
+    )
+
+    one = jnp.ones_like(coord.x)
+    zero = jnp.zeros_like(coord.x)
+    attenuation = Vec3(one, one, one)
+    contribution = Vec3(zero, zero, zero)
+
+    seed, attenuation, in_scatter = atmosphere_scattering(
+        seed, light.direction, light.color, ray_o, ray_dir, info.thit, all_active
+    )
+    contribution = contribution + in_scatter + attenuation * info.albedo * info.emission
+
+    regularization = one
+    roughness = info.roughness
+    active = all_active
+    for _bounce in range(config.max_bounces):
+        active = active & (info.thit > 0)
+
+        # tangent-space view (reference: path_tracer.hh:700-702)
+        view = info.tbn.vec_mul(-ray_dir)
+        view = Vec3(view.x, view.y, jnp.where(view.z < 1e-7, jnp.maximum(view.z, 1e-7), view.z))
+        view = normalize3(view)
+
+        info_now = info._replace(roughness=roughness)
+
+        seed, nee_color = nee_branch(
+            seed, scene, light, tlas_count, tlas_offset, info_now, view,
+            active, config,
+        )
+        contribution = contribution + where3(
+            active, attenuation * nee_color, Vec3(zero, zero, zero)
+        )
+
+        seed, u = rng.uniform4_masked(seed, active)
+        sample = sample_bsdf(
+            Vec3(u.x, u.y, u.z), view, info_now.albedo, info_now.roughness,
+            info_now.metallic, info_now.transmission, info_now.eta,
+        )
+
+        new_dir = normalize3(info.tbn.mul_vec(sample.direction))
+        new_o = info.pos
+        ray_dir = where3(active, new_dir, ray_dir)
+        ray_o = where3(active, new_o, ray_o)
+
+        info = trace_ray(
+            scene, light, tlas_count, tlas_offset, ray_o, ray_dir,
+            config.min_ray_dist, active,
+        )
+
+        bsdf_pdf = sample.pdf
+        mis_pdf = jnp.where(
+            bsdf_pdf < 0,
+            -bsdf_pdf,
+            (info.nee_pdf * info.nee_pdf + bsdf_pdf * bsdf_pdf) / bsdf_pdf,
+        )
+
+        attenuation = where3(
+            active, attenuation * sample.attenuation, attenuation
+        )
+
+        seed, atmo_att, in_scatter = atmosphere_scattering(
+            seed, light.direction, light.color, ray_o, ray_dir, info.thit, active
+        )
+
+        contribution = contribution + where3(
+            active,
+            attenuation
+            * (in_scatter + atmo_att * info.albedo * info.emission)
+            / mis_pdf,
+            Vec3(zero, zero, zero),
+        )
+        attenuation = where3(
+            active, attenuation * atmo_att / jnp.abs(bsdf_pdf), attenuation
+        )
+
+        # path-space regularization (reference: path_tracer.hh:734-737)
+        regularization = jnp.where(
+            active & (bsdf_pdf > 0.0),
+            regularization
+            * jnp.maximum(
+                1.0
+                - f32(config.path_space_regularization_gamma)
+                / jnp.power(jnp.abs(bsdf_pdf), 0.25),
+                0.0,
+            ),
+            regularization,
+        )
+        roughness = 1.0 - (1.0 - info.roughness) * regularization
+
+    return contribution

@@ -1,0 +1,100 @@
+"""Multi-chip sharding of the render loop.
+
+The reference's only parallelism is one OpenMP loop over pixels
+(reference: main.cc:16). The TPU-native decomposition is two mesh axes:
+
+  * ``tiles``  — data parallelism over pixels: each device owns a disjoint
+    slice of the flat pixel list. No communication.
+  * ``samples`` — sample-axis parallelism: each device renders a disjoint
+    ``sample_index`` range of the *same* pixels and partial radiance is
+    reduced with ``psum``. Valid because the RNG seed depends only on
+    (x, y, sample_index, student_id) (reference: path_tracer.hh:659), so
+    sample ranges can be rendered anywhere and summed — the renderer's
+    gradient-accumulation analogue (SURVEY.md §5).
+
+The scene (BVH + mesh tables) is replicated on every device; subframe TLAS
+tables are small and ride along.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pathtracing_tpu.config import RenderConfig
+from pathtracing_tpu.ops.integrator import path_trace_samples
+
+
+def make_mesh(n_tiles: int, n_samples: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_tiles * n_samples
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(n_tiles, n_samples)
+    return Mesh(dev, ("tiles", "samples"))
+
+
+def make_sharded_render(config: RenderConfig, mesh: Mesh, spp: int):
+    """Returns a jitted fn(scene, xs, ys) -> (r, g, b) per-pixel radiance sums.
+
+    xs/ys are flat pixel arrays sharded over the ``tiles`` axis; every
+    device in a ``samples`` column computes its slice of the spp range and
+    the column is psum-reduced.
+    """
+    n_sample_shards = mesh.shape["samples"]
+    assert spp % n_sample_shards == 0, (spp, n_sample_shards)
+    local_spp = spp // n_sample_shards
+
+    def local_render(scene, xs, ys):
+        shard = jax.lax.axis_index("samples")
+        base = shard.astype(jnp.int32) * local_spp
+
+        def body(acc, s):
+            si = jnp.full(xs.shape, base + s, jnp.int32)
+            c = path_trace_samples(config, scene, xs, ys, si)
+            return (acc[0] + c.x, acc[1] + c.y, acc[2] + c.z), None
+
+        zero = jnp.zeros(xs.shape, jnp.float32)
+        (r, g, b), _ = jax.lax.scan(
+            body, (zero, zero, zero), jnp.arange(local_spp, dtype=jnp.int32)
+        )
+        # reduce the sample axis (ICI all-reduce)
+        r = jax.lax.psum(r, "samples")
+        g = jax.lax.psum(g, "samples")
+        b = jax.lax.psum(b, "samples")
+        return r, g, b
+
+    shard_fn = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P("tiles"), P("tiles")),
+        out_specs=P("tiles"),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
+def render_frame_sharded(
+    config: RenderConfig,
+    scene,
+    mesh: Mesh,
+    spp: int | None = None,
+):
+    """Full-frame render across the mesh; returns (H, W, 3) averaged f32."""
+    spp = spp or config.samples_per_pixel
+    W, H = config.image_width, config.image_height
+    n_tiles = mesh.shape["tiles"]
+    idx = np.arange(W * H, dtype=np.int32)
+    pad = (-len(idx)) % n_tiles
+    idx = np.concatenate([idx, np.zeros(pad, np.int32)])
+    xs = jnp.asarray(idx % W, jnp.int32)
+    ys = jnp.asarray(idx // W, jnp.int32)
+    fn = make_sharded_render(config, mesh, spp)
+    r, g, b = fn(scene, xs, ys)
+    colors = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
+    colors = colors[: W * H] / np.float32(spp)
+    return colors.reshape(H, W, 3)

@@ -1,0 +1,91 @@
+"""Frame rendering driver.
+
+The reference's ``baseline_render`` is a flat OpenMP loop over pixels with a
+serial sample loop per pixel (reference: main.cc:12-46). Here a frame is a
+grid of flat pixel tiles; each tile renders as a wavefront of
+``tile_pixels`` lanes with samples accumulated by a ``lax.scan`` over sample
+batches — one compiled kernel, reused for every tile and every frame.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracing_tpu.config import RenderConfig
+from pathtracing_tpu.ops.integrator import path_trace_samples
+from pathtracing_tpu.ops.tonemap import tonemap
+from pathtracing_tpu.utils.vec import Vec3
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _render_tile(config: RenderConfig, scene, xs, ys, spp: int):
+    """Sum `spp` samples for each lane; returns (r, g, b) accumulated."""
+
+    def body(carry, sample_index):
+        acc = carry
+        si = jnp.full(xs.shape, sample_index, jnp.int32)
+        c = path_trace_samples(config, scene, xs, ys, si)
+        return (acc[0] + c.x, acc[1] + c.y, acc[2] + c.z), None
+
+    zero = jnp.zeros(xs.shape, jnp.float32)
+    (r, g, b), _ = jax.lax.scan(
+        body, (zero, zero, zero), jnp.arange(spp, dtype=jnp.int32)
+    )
+    return r, g, b
+
+
+def render_pixels(
+    config: RenderConfig,
+    scene,
+    xs: np.ndarray,
+    ys: np.ndarray,
+    spp: int | None = None,
+    tile_pixels: int = 1 << 15,
+):
+    """Average radiance for an arbitrary pixel list. Returns (N, 3) f32."""
+    spp = spp or config.samples_per_pixel
+    n = len(xs)
+    out = np.empty((n, 3), np.float32)
+    for start in range(0, n, tile_pixels):
+        end = min(start + tile_pixels, n)
+        # pad to tile size so one compiled kernel serves every tile
+        pad = tile_pixels - (end - start)
+        txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
+        tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
+        r, g, b = _render_tile(
+            config, scene, jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32), spp
+        )
+        tile = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
+        out[start:end] = tile[: end - start]
+    return out / np.float32(spp)
+
+
+def render_frame(
+    config: RenderConfig,
+    scene,
+    spp: int | None = None,
+    tile_pixels: int = 1 << 15,
+):
+    """Render a full frame; returns (colors (H,W,3) f32, image (H,W,4) u8 BGRA)."""
+    W, H = config.image_width, config.image_height
+    idx = np.arange(W * H, dtype=np.int32)
+    xs = idx % W
+    ys = idx // W
+    colors = render_pixels(config, scene, xs, ys, spp, tile_pixels).reshape(
+        H, W, 3
+    )
+    b, g, r, a = jax.jit(tonemap)(
+        Vec3(
+            jnp.asarray(colors[..., 0]),
+            jnp.asarray(colors[..., 1]),
+            jnp.asarray(colors[..., 2]),
+        )
+    )
+    image = np.stack(
+        [np.asarray(b), np.asarray(g), np.asarray(r), np.asarray(a)], axis=-1
+    )
+    return colors, image

@@ -145,7 +145,7 @@ def build_golden_scene_host(data_dir, ground_obj, config=TESTING) -> Scene:
     cam = Camera(
         orientation=extract_m4m3(
             rotation_euler(
-                (np.array([18.0, 150.0, 0.0], f32) * f32(np.pi) / f32(180.0)).astype(f32)
+                (np.array([16.0, 327.5, 0.0], f32) * f32(np.pi) / f32(180.0)).astype(f32)
             )
         ),
         position=np.array([7.0, 4.5, 11.0], f32),

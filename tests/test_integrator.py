@@ -1,0 +1,89 @@
+"""Integrator vs the C++ oracle: per-sample radiance, tonemap bytes, and a
+subsampled-image comparison against the 8spp oracle render."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracing_tpu.config import TESTING
+from pathtracing_tpu.ops.integrator import path_trace_samples
+from pathtracing_tpu.ops.tonemap import tonemap
+from pathtracing_tpu.render import render_pixels
+from pathtracing_tpu.utils.goldenio import load_golden
+from pathtracing_tpu.utils.vec import Vec3
+
+from conftest import require_golden
+from golden_scene import scene_device_from_golden
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return scene_device_from_golden(
+        load_golden(str(require_golden("scene.gold")))
+    )
+
+
+def test_per_sample_radiance(scene):
+    tg = load_golden(str(require_golden("trace.gold")))
+    keys = tg["keys"]
+    fn = jax.jit(functools.partial(path_trace_samples, TESTING, scene))
+    out = fn(
+        jnp.asarray(keys[:, 0].astype(np.int32)),
+        jnp.asarray(keys[:, 1].astype(np.int32)),
+        jnp.asarray(keys[:, 2].astype(np.int32)),
+    )
+    got = np.stack([np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)], -1)
+    ref = tg["radiance"]
+    # Almost all samples match to transcendental-ulp level. A tiny fraction
+    # (~0.2%) legitimately diverge: FMA contraction inside the compiled
+    # traversal shifts hit t by a few ulps, which at grazing secondary rays
+    # flips a hit/miss decision (verified path-by-path against the oracle's
+    # debug mode). Those paths are unbiased noise and vanish in the average.
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.quantile(rel, 0.995) < 5e-4, np.quantile(rel, 0.995)
+    assert np.median(rel) < 1e-5
+
+
+def test_tonemap_bytes(scene):
+    tg = load_golden(str(require_golden("trace.gold")))
+    tin = tg["tonemap_in"]
+    ref = tg["tonemap_out"]
+    b, g, r, a = jax.jit(tonemap)(
+        Vec3(
+            jnp.asarray(tin[:, 0]), jnp.asarray(tin[:, 1]), jnp.asarray(tin[:, 2])
+        )
+    )
+    got = np.stack([np.asarray(b), np.asarray(g), np.asarray(r), np.asarray(a)], -1)
+    # allow 1 LSB for pow() rounding differences
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_subsampled_image_vs_oracle(scene):
+    rg = load_golden(str(require_golden("render8.gold")))
+    ref_colors = rg["colors"]  # (H, W, 3) averaged over 8 spp
+    H, W = ref_colors.shape[:2]
+    step = 8
+    ys_g, xs_g = np.mgrid[0:H:step, 0:W:step]
+    xs = xs_g.reshape(-1).astype(np.int32)
+    ys = ys_g.reshape(-1).astype(np.int32)
+    got = render_pixels(TESTING, scene, xs, ys, spp=8, tile_pixels=len(xs))
+    ref = ref_colors[ys, xs]
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    # bulk of pixels bit-tight; rare grazing-path divergence tolerated
+    assert np.quantile(rel, 0.98) < 1e-3, np.quantile(rel, 0.98)
+
+    # image-level gate, validator-style (reference: validator.py:50): PSNR on
+    # tonemapped pixels, same spp and same RNG => far above the 32 dB bar.
+    def tm(c):
+        v = Vec3(*(jnp.asarray(c[:, i]) for i in range(3)))
+        b, g, r, a = tonemap(v)
+        return np.stack([np.asarray(b), np.asarray(g), np.asarray(r)], -1).astype(np.float64)
+
+    mse = ((tm(got) - tm(ref)) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / max(mse, 1e-12))
+    # 37.2 dB measured at 8 spp; the validator bar is 32 dB and the rare
+    # divergent samples dilute ~linearly with spp (256 spp in production).
+    assert psnr > 35.0, psnr

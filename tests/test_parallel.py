@@ -1,0 +1,58 @@
+"""Sharded rendering must be bit-identical to single-device rendering:
+pixel-DP is pure data layout and sample-parallelism only reorders an
+addition of independent sample values (seeds depend only on
+(x, y, sample_index), reference: path_tracer.hh:659)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracing_tpu.config import TESTING
+from pathtracing_tpu.ops.integrator import path_trace_samples
+from pathtracing_tpu.parallel.sharding import make_mesh, make_sharded_render
+from pathtracing_tpu.utils.goldenio import load_golden
+
+from conftest import require_golden
+from golden_scene import scene_device_from_golden
+
+CONFIG = dataclasses.replace(TESTING, max_bounces=2)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return scene_device_from_golden(
+        load_golden(str(require_golden("scene.gold")))
+    )
+
+
+def _reference_sums(scene, xs, ys, spp):
+    acc = None
+    for s in range(spp):
+        si = jnp.full(xs.shape, s, jnp.int32)
+        c = path_trace_samples(CONFIG, scene, xs, ys, si)
+        cur = np.stack([np.asarray(c.x), np.asarray(c.y), np.asarray(c.z)], -1)
+        acc = cur if acc is None else acc + cur
+    return acc
+
+
+@pytest.mark.parametrize("tiles,samples", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_matches_single_device(scene, tiles, samples):
+    if len(jax.devices()) < tiles * samples:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(tiles, samples)
+    spp = 4 if samples <= 4 else samples
+    n = 8 * tiles
+    idx = np.arange(n, dtype=np.int32)
+    xs = jnp.asarray((idx * 13) % CONFIG.image_width)
+    ys = jnp.asarray((idx * 7) % CONFIG.image_height)
+
+    fn = make_sharded_render(CONFIG, mesh, spp)
+    r, g, b = fn(scene, xs, ys)
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
+
+    ref = _reference_sums(scene, xs, ys, spp)
+    # psum reassociates the sample sum; tolerance is float-add reordering
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

@@ -202,7 +202,7 @@ static golden_scene build_golden_scene(const char* data_dir, const char* ground_
     camera cam;
     cam.position = float3{7.0f, 4.5f, 11.0f};
     cam.aspect_ratio = IMAGE_WIDTH/float(IMAGE_HEIGHT);
-    cam.orientation = extract_m4m3(rotation_euler(float3{18.0f, 150.0f, 0.0f} * (float)M_PI / 180.0f));
+    cam.orientation = extract_m4m3(rotation_euler(float3{16.0f, 327.5f, 0.0f} * (float)M_PI / 180.0f));
     cam.inv_focal_length = tan(60.0f * (float)M_PI / 360.0f);
     cam.focal_distance = 2.0f;
     cam.aperture_angle = (float)M_PI/16.0f;
@@ -306,6 +306,93 @@ static void cmd_trace(
     write_array("tonemap_in", 'f', 4, { tin.size()/3, 3 }, tin.data());
     write_array("tonemap_out", 'u', 1, { tout.size()/4, 4 }, tout.data());
     fclose(g_out);
+}
+
+// --------------------------------------------------------------- debug ----
+// Re-drives the reference's per-sample loop step by step (calling its inline
+// API) and prints per-bounce internals for divergence triage.
+static void cmd_debug(golden_scene& gs, uint x, uint y, int sample_index)
+{
+    uint subframe_index = sample_index < 0 ? 0 : sample_index / SAMPLES_PER_MOTION_BLUR_STEP;
+    subframe sf = gs.subframes[subframe_index];
+
+    uint4 seed = {x, y, (uint)sample_index, STUDENT_ID};
+    pcg4d(&seed);
+    float4 u = generate_uniform_random4(&seed);
+    float2 film_offset = sample_gaussian_weighted_disk((float2){u.x, u.y}, 0.4f);
+    film_offset.x += 0.5f; film_offset.y += 0.5f;
+    float3 ray_dir, ray_o;
+    get_camera_ray(sf.cam, (float2){u.z, u.w},
+        (float2){x + film_offset.x, y + film_offset.y}, &ray_dir, &ray_o);
+    printf("u0 %.9g %.9g %.9g %.9g\n", u.x, u.y, u.z, u.w);
+    printf("ray_o %.9g %.9g %.9g dir %.9g %.9g %.9g\n",
+        ray_o.x, ray_o.y, ray_o.z, ray_dir.x, ray_dir.y, ray_dir.z);
+
+    pt_context ctx;
+    ctx.tlas = sf.tlas;
+    ctx.instances = gs.instances.data();
+    ctx.node_array = gs.bc.nodes.data();
+    ctx.link_array = gs.bc.links.data();
+    ctx.mesh_indices = gs.mb.indices.data();
+    ctx.mesh_pos = gs.mb.pos.data();
+    ctx.mesh_normal = gs.mb.normal.data();
+    ctx.mesh_albedo = gs.mb.albedo.data();
+    ctx.mesh_material = gs.mb.material.data();
+    ctx.light = sf.light;
+
+    hit_info info = trace_ray(ctx, ray_o, ray_dir, 0.0f);
+    float3 attenuation = {1,1,1};
+    float3 contribution = {0,0,0};
+    float3 in_scatter;
+    nishita_atmosphere_scattering(&seed, ctx, ray_o, ray_dir, info.thit, &attenuation, &in_scatter);
+    contribution += in_scatter + attenuation * info.albedo * info.emission;
+    printf("primary thit %.9g contrib %.9g %.9g %.9g\n", info.thit,
+        contribution.x, contribution.y, contribution.z);
+
+    float regularization = 1.0f;
+    for(uint bounce = 0; bounce < MAX_BOUNCES && info.thit > 0; ++bounce)
+    {
+        float3 view = mul_v3m3(-ray_dir, info.tbn);
+        if(view.z < 1e-7f) view = (float3){view.x, view.y, fmax(view.z, 1e-7f)};
+        view = normalize(view);
+
+        float3 nee = nee_branch(&seed, ctx, info, view);
+        contribution += attenuation * nee;
+        printf("bounce %u nee %.9g %.9g %.9g rough %.9g\n", bounce, nee.x, nee.y, nee.z, info.roughness);
+
+        float4 u = generate_uniform_random4(&seed);
+        float3 tdir;
+        float3 bsdf_attenuation;
+        float bsdf_pdf;
+        sample_bsdf((float3){u.x, u.y, u.z}, view,
+            info.albedo, info.roughness, info.metallic, info.transmission,
+            info.eta, &tdir, &bsdf_attenuation, &bsdf_pdf);
+        printf("bounce %u u %.9g %.9g %.9g tdir %.9g %.9g %.9g pdf %.9g\n",
+            bounce, u.x, u.y, u.z, tdir.x, tdir.y, tdir.z, bsdf_pdf);
+
+        ray_dir = normalize(mul_m3v3(info.tbn, tdir));
+        ray_o = info.pos;
+        info = trace_ray(ctx, ray_o, ray_dir, MIN_RAY_DIST);
+        printf("bounce %u dir %.9g %.9g %.9g thit %.9g alb %.9g %.9g %.9g em %.9g\n",
+            bounce, ray_dir.x, ray_dir.y, ray_dir.z, info.thit,
+            info.albedo.x, info.albedo.y, info.albedo.z, info.emission);
+
+        float mis_pdf = bsdf_pdf < 0 ? -bsdf_pdf :
+            (info.nee_pdf * info.nee_pdf + bsdf_pdf * bsdf_pdf) / bsdf_pdf;
+        attenuation *= bsdf_attenuation;
+        float3 atmosphere_attenuation;
+        float3 in_scatter;
+        nishita_atmosphere_scattering(&seed, ctx, ray_o, ray_dir, info.thit, &atmosphere_attenuation, &in_scatter);
+        contribution += attenuation * (in_scatter + atmosphere_attenuation * info.albedo * info.emission) / mis_pdf;
+        attenuation *= atmosphere_attenuation / fabs(bsdf_pdf);
+        printf("bounce %u mis %.9g contrib %.9g %.9g %.9g atten %.9g %.9g %.9g\n",
+            bounce, mis_pdf, contribution.x, contribution.y, contribution.z,
+            attenuation.x, attenuation.y, attenuation.z);
+        if(bsdf_pdf > 0.0f)
+            regularization *= fmax(1 - PATH_SPACE_REGULARIZATION_GAMMA / pow(bsdf_pdf, 0.25f), 0.0f);
+        info.roughness = 1.0f - (1.0f - info.roughness) * regularization;
+    }
+    printf("final %.9g %.9g %.9g\n", contribution.x, contribution.y, contribution.z);
 }
 
 // ---------------------------------------------------------------- rays ----
@@ -430,6 +517,11 @@ int main(int argc, char** argv)
     {
         golden_scene gs = build_golden_scene(argv[2], argv[3]);
         cmd_trace(gs, argv[4], atoi(argv[5]), atoi(argv[6]), atoi(argv[7]));
+    }
+    else if(cmd == "debug")
+    {
+        golden_scene gs = build_golden_scene(argv[2], argv[3]);
+        cmd_debug(gs, atoi(argv[4]), atoi(argv[5]), atoi(argv[6]));
     }
     else if(cmd == "rays")
     {
