@@ -153,7 +153,40 @@ def _parse_face_vertex(token: str):
 
 
 def load_mesh(mb: MeshBuffers, obj_file: str) -> MeshHandle:
-    """Load one OBJ into the shared buffers (reference: mesh.cc:110-265)."""
+    """Load one OBJ into the shared buffers (reference: mesh.cc:110-265).
+
+    Uses the native C++ parser when available (identical output,
+    golden-tested); set PT_NO_NATIVE=1 to force the Python path.
+    """
+    if not os.environ.get("PT_NO_NATIVE"):
+        native = _load_mesh_native(mb, obj_file)
+        if native is not None:
+            return native
+    return _load_mesh_py(mb, obj_file)
+
+
+def _load_mesh_native(mb: MeshBuffers, obj_file: str) -> MeshHandle | None:
+    from pathtracing_tpu.io.native_loader import load_obj_native
+
+    arrays = load_obj_native(obj_file)
+    if arrays is None:
+        return None
+    indices, pos, normal, albedo, material = arrays
+    handle = MeshHandle(
+        vertex_count=len(pos),
+        triangle_count=len(indices) // 3,
+        index_offset=mb.index_count,
+        base_vertex_offset=mb.vertex_count,
+    )
+    mb.indices.append(indices)
+    mb.pos.append(pos)
+    mb.normal.append(normal)
+    mb.albedo.append(albedo)
+    mb.material.append(material)
+    return handle
+
+
+def _load_mesh_py(mb: MeshBuffers, obj_file: str) -> MeshHandle:
     index_offset = mb.index_count
     base_vertex_offset = mb.vertex_count
 

@@ -11,9 +11,18 @@ from conftest import require_golden, require_reference_data
 
 
 @pytest.mark.parametrize("name", ["teapot", "rock2"])
-def test_mesh_matches_oracle(name):
+@pytest.mark.parametrize("loader", ["python", "native"])
+def test_mesh_matches_oracle(name, loader, monkeypatch):
     golden = load_golden(str(require_golden(f"mesh_{name}.gold")))
     obj = require_reference_data(f"{name}.obj")
+
+    if loader == "python":
+        monkeypatch.setenv("PT_NO_NATIVE", "1")
+    else:
+        from pathtracing_tpu.io.native_loader import _get_lib
+
+        if _get_lib() is None:
+            pytest.skip("no C++ toolchain")
 
     mb = MeshBuffers()
     m = load_mesh(mb, str(obj))

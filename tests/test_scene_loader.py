@@ -1,0 +1,96 @@
+"""Full-scene loader + animation: determinism, structure, animation quirks."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from pathtracing_tpu.config import TESTING
+from pathtracing_tpu.scene.animation import (
+    initial_frame_state,
+    play_animation_track,
+)
+
+CFG = dataclasses.replace(TESTING, samples_per_pixel=16)  # 2 subframes
+
+
+@pytest.fixture(scope="module")
+def scene():
+    from pathtracing_tpu.scene.loader import load_scene
+
+    return load_scene(config=CFG)
+
+
+def test_load_scene_structure(scene):
+    # 18 meshes, deterministic placement on the substitute terrain
+    assert len(scene.meshes) == 18
+    assert scene.static_instance_count > 300
+    assert len(scene.bvh_buf.links) == 8 * len(scene.bvh_buf.nodes)
+    # terrain recolor: non-water vertices follow the height gradients
+    alb = scene.mesh_buf.albedo[0]
+    mat = scene.mesh_buf.material[0]
+    land = mat[:, 2] == 0
+    assert land.any() and (~land).any()  # terrain has land and water
+    assert (alb[land][:, 3] == 1.0).all()  # gradient alpha = 1
+
+
+def test_placement_deterministic(scene):
+    from pathtracing_tpu.scene.loader import load_scene
+
+    s2 = load_scene(config=CFG)
+    assert len(s2.instances) == len(scene.instances)
+    for a, b in zip(scene.instances, s2.instances):
+        np.testing.assert_array_equal(a.transform, b.transform)
+
+
+def test_setup_animation_frame(scene):
+    from pathtracing_tpu.scene.loader import setup_animation_frame
+
+    setup_animation_frame(scene, 0, CFG)
+    assert len(scene.subframes) == CFG.subframe_count
+    n_after_0 = len(scene.instances)
+    nodes_after_0 = len(scene.bvh_buf.nodes)
+
+    # frame 400: teapot+armadillo visible; camera moved by the track
+    setup_animation_frame(scene, 400, CFG)
+    assert len(scene.instances) == scene.static_instance_count + 1 + 2 * CFG.subframe_count
+    cam = scene.subframes[0].cam
+    np.testing.assert_allclose(cam.position, [38.5, 19.2, 37.7], atol=1e-4)
+
+    # frame loop re-entry keeps buffers balanced (pop works)
+    setup_animation_frame(scene, 0, CFG)
+    assert len(scene.instances) == n_after_0
+    assert len(scene.bvh_buf.nodes) == nodes_after_0
+    assert len(scene.bvh_buf.links) == 8 * len(scene.bvh_buf.nodes)
+
+
+def test_animation_track_quirks():
+    # later stops override earlier ones; iteration breaks at first start > t
+    state = initial_frame_state()
+    play_animation_track(state, 1104.5)
+    # the (1104, ...) entries sit AFTER (1105, ...) in the table, so at
+    # t=1104.5 the scan stops at 1105 and bunny_pos_x keeps its 980 value
+    assert state["bunny_pos_x"] == np.float32(-34.5)
+    state = initial_frame_state()
+    play_animation_track(state, 1106.0)
+    # now the 1105 entry passes and the 1104 entries apply (fully elapsed at
+    # t>=1109; at 1106 it lerps 2/5 of the way)
+    np.testing.assert_allclose(
+        state["bunny_pos_x"], -34.5 + ((-25.5) - (-34.5)) * (2.0 / 5.0), rtol=1e-6
+    )
+
+    # snap stops (duration 0)
+    state = initial_frame_state()
+    play_animation_track(state, 140.0)
+    assert state["cam_pos_x"] == np.float32(-11.6)
+    # teapot zoom overrides the 60..120 camera move applied earlier in order
+    play_animation_track(state, 139.9)
+    assert state["cam_pos_x"] == np.float32(-90.6)
+
+
+def test_sun_below_horizon_at_sunset_end(scene):
+    from pathtracing_tpu.scene.loader import setup_animation_frame
+
+    setup_animation_frame(scene, 1799, CFG)
+    # sunset curve: sun is low/below horizon at the end (scene.cc:691-693)
+    assert scene.subframes[-1].light.direction[1] < 0.1

@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Microbenchmarks for the traversal bottleneck on the current device.
+
+Measures, in order:
+  1. raw random-gather throughput (the traversal's dominant memory pattern)
+  2. traversal iterations/s on golden-scene rays (while_loop step cost)
+  3. iteration-count distribution (worst-lane convergence waste)
+  4. end-to-end sample throughput
+"""
+
+import sys
+import time
+import pathlib
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tests"))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, n=5):
+    fn(*args)  # compile
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def bench_gather():
+    print("== gather throughput ==")
+    for n_table, n_idx in [(1 << 20, 1 << 20), (1 << 16, 1 << 20), (1 << 20, 1 << 16)]:
+        table = jnp.arange(n_table, dtype=jnp.float32)
+        idx = jnp.asarray(
+            np.random.default_rng(0).integers(0, n_table, n_idx), jnp.int32
+        )
+
+        @jax.jit
+        def g(t, i):
+            return t[i]
+
+        dt = timeit(g, table, idx)
+        print(
+            f"table {n_table>>10}K idx {n_idx>>10}K: {dt*1e3:.2f} ms "
+            f"=> {n_idx*4/dt/1e9:.2f} GB/s gathered"
+        )
+
+    # row gather from (N, 8)
+    table = jnp.zeros((1 << 18, 8), jnp.float32)
+    idx = jnp.asarray(
+        np.random.default_rng(0).integers(0, 1 << 18, 1 << 20), jnp.int32
+    )
+
+    @jax.jit
+    def g2(t, i):
+        return t[i]
+
+    dt = timeit(g2, table, idx)
+    print(
+        f"row-gather (256K,8) x 1M: {dt*1e3:.2f} ms "
+        f"=> {(1<<20)*32/dt/1e9:.2f} GB/s"
+    )
+
+
+def bench_traversal():
+    print("== traversal ==")
+    from pathtracing_tpu.ops.traversal import ray_query
+    from pathtracing_tpu.utils.goldenio import load_golden
+    from pathtracing_tpu.utils.vec import Vec3
+    from golden_scene import scene_device_from_golden
+
+    sg = load_golden(str(_REPO / "tests/golden/scene.gold"))
+    rg = load_golden(str(_REPO / "tests/golden/rays.gold"))
+    scene = scene_device_from_golden(sg)
+
+    R0 = len(rg["origins"])
+    for R in [4096, 65536, 262144]:
+        reps = (R + R0 - 1) // R0
+        origins = np.tile(rg["origins"], (reps, 1))[:R]
+        dirs = np.tile(rg["dirs"], (reps, 1))[:R]
+        tlc = jnp.full(R, int(sg["tlas"][0]), jnp.int32)
+        tlo = jnp.full(R, int(sg["tlas"][1]), jnp.int32)
+        org = Vec3(*(jnp.asarray(origins[:, i]) for i in range(3)))
+        d = Vec3(*(jnp.asarray(dirs[:, i]) for i in range(3)))
+        act = jnp.ones(R, bool)
+
+        fn = jax.jit(
+            lambda o, dd: ray_query(scene, tlc, tlo, o, dd, 0.0, 1e9, act)[0].thit
+        )
+        dt = timeit(fn, org, d, n=3)
+        print(f"R={R}: {dt*1e3:.1f} ms => {R/dt/1e6:.2f} Mrays/s")
+
+
+def bench_iteration_counts():
+    print("== iteration counts (convergence skew) ==")
+    from pathtracing_tpu.ops.traversal import ray_query
+    from pathtracing_tpu.utils.goldenio import load_golden
+    from pathtracing_tpu.utils.vec import Vec3
+    from golden_scene import scene_device_from_golden
+
+    sg = load_golden(str(_REPO / "tests/golden/scene.gold"))
+    rg = load_golden(str(_REPO / "tests/golden/rays.gold"))
+    scene = scene_device_from_golden(sg)
+    R = len(rg["origins"])
+    tlc = jnp.full(R, int(sg["tlas"][0]), jnp.int32)
+    tlo = jnp.full(R, int(sg["tlas"][1]), jnp.int32)
+    org = Vec3(*(jnp.asarray(rg["origins"][:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(rg["dirs"][:, i]) for i in range(3)))
+    act = jnp.ones(R, bool)
+
+    # bisect per-ray completion step via max_steps sweep
+    done_at = np.full(R, -1)
+    for steps in [16, 32, 64, 96, 128, 192, 256, 384, 512, 768, 1024]:
+        st = ray_query(
+            scene, tlc, tlo, org, d, 0.0, 1e9, act, max_steps=steps, return_state=True
+        )
+        done = np.asarray(st.done)
+        newly = (done_at < 0) & done
+        done_at[newly] = steps
+    print(
+        "steps quantiles (upper bounds): "
+        + ", ".join(
+            f"p{q}={int(np.quantile(done_at[done_at>0], q/100))}"
+            for q in [50, 90, 99, 100]
+        )
+        + f", unfinished@1024={int((done_at<0).sum())}"
+    )
+
+
+def main():
+    print("devices:", jax.devices())
+    bench_gather()
+    bench_traversal()
+    bench_iteration_counts()
+
+
+if __name__ == "__main__":
+    main()
