@@ -97,34 +97,25 @@ def trace_ray(
     sun_scale = jnp.where(miss_nee_pdf == 0.0, jnp.float32(1.0), miss_nee_pdf)
     miss_albedo = light.color * (visible * sun_scale)
 
-    # ---- hit: interpolate vertex attributes ----
+    # ---- hit: interpolate vertex attributes (row gathers) ----
     iidx = jnp.where(miss, 0, hit.inst)
     ui = scene.inst_u[iidx]
     fi = scene.inst_f[iidx]
-    tri_base = ui[:, 2] + jnp.where(miss, 0, hit.prim) * 3
-    i0 = ui[:, 3] + scene.tri[tri_base]
-    i1 = ui[:, 3] + scene.tri[tri_base + 1]
-    i2 = ui[:, 3] + scene.tri[tri_base + 2]
-
-    def gather3(tx, ty, tz, i):
-        return Vec3(tx[i], ty[i], tz[i])
+    tri_row = ui[:, 4] + jnp.where(miss, 0, hit.prim)
+    ti = scene.tri_idx[tri_row]  # (R, 4) absolute vertex ids
+    a0 = scene.vattr[ti[:, 0]]  # (R, 12): normal, albedo, material
+    a1 = scene.vattr[ti[:, 1]]
+    a2 = scene.vattr[ti[:, 2]]
 
     bu, bv, bw = hit.bary_u, hit.bary_v, hit.bary_w
-    n0 = gather3(scene.nrm_x, scene.nrm_y, scene.nrm_z, i0)
-    n1 = gather3(scene.nrm_x, scene.nrm_y, scene.nrm_z, i1)
-    n2 = gather3(scene.nrm_x, scene.nrm_y, scene.nrm_z, i2)
-    n = n0 * bu + n1 * bv + n2 * bw
-
-    alb = (
-        gather3(scene.alb_r, scene.alb_g, scene.alb_b, i0) * bu
-        + gather3(scene.alb_r, scene.alb_g, scene.alb_b, i1) * bv
-        + gather3(scene.alb_r, scene.alb_g, scene.alb_b, i2) * bw
-    )
-    alpha = scene.alb_a[i0] * bu + scene.alb_a[i1] * bv + scene.alb_a[i2] * bw
-    mat_r = scene.mat_r[i0] * bu + scene.mat_r[i1] * bv + scene.mat_r[i2] * bw
-    mat_m = scene.mat_m[i0] * bu + scene.mat_m[i1] * bv + scene.mat_m[i2] * bw
-    mat_t = scene.mat_t[i0] * bu + scene.mat_t[i1] * bv + scene.mat_t[i2] * bw
-    mat_e = scene.mat_e[i0] * bu + scene.mat_e[i1] * bv + scene.mat_e[i2] * bw
+    attr = a0 * bu[:, None] + a1 * bv[:, None] + a2 * bw[:, None]
+    n = Vec3(attr[:, 0], attr[:, 1], attr[:, 2])
+    alb = Vec3(attr[:, 3], attr[:, 4], attr[:, 5])
+    alpha = attr[:, 6]
+    mat_r = attr[:, 7]
+    mat_m = attr[:, 8]
+    mat_t = attr[:, 9]
+    mat_e = attr[:, 10]
 
     # rotate normal to world: mul_m3v3(rot, n) with rot = transform 3x3
     # (reference: path_tracer.hh:371,392)

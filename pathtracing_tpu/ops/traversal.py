@@ -127,8 +127,7 @@ class _TravState(NamedTuple):
     b_S_y: Array
     b_S_z: Array
     b_axis: Array
-    m_index_offset: Array
-    m_base_vertex: Array
+    m_tri_offset: Array
     cand_inst: Array
     # query state
     done: Array
@@ -200,8 +199,7 @@ def ray_query(
         b_inv_x=f32(0), b_inv_y=f32(0), b_inv_z=f32(0),
         b_S_x=f32(0), b_S_y=f32(0), b_S_z=f32(0),
         b_axis=i32(2),
-        m_index_offset=i32(0),
-        m_base_vertex=i32(0),
+        m_tri_offset=i32(0),
         cand_inst=i32(-1),
         done=jnp.logical_not(active),
         tmax=tmax0,
@@ -236,16 +234,12 @@ def ray_query(
         in_blas = s.in_blas & jnp.logical_not(exhausted)
         valid = valid & jnp.logical_not(exhausted)
 
-        gidx = jnp.where(valid, offset + node_idx, 0)
-        nmin = Vec3(
-            scene.node_min_x[gidx], scene.node_min_y[gidx], scene.node_min_z[gidx]
-        )
-        nmax = Vec3(
-            scene.node_max_x[gidx], scene.node_max_y[gidx], scene.node_max_z[gidx]
-        )
         lidx = jnp.where(valid, link_off + node_idx, 0)
-        accept = scene.link_accept[lidx]
-        cancel = scene.link_cancel[lidx]
+        row = scene.nl8[lidx]  # (R, 8): AABB + accept/cancel bit patterns
+        nmin = Vec3(row[:, 0], row[:, 1], row[:, 2])
+        nmax = Vec3(row[:, 3], row[:, 4], row[:, 5])
+        accept = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        cancel = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
 
         o = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), org)
         inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), t_inv)
@@ -265,7 +259,7 @@ def ray_query(
         # ---- enter BLAS (reference: ray_query.hh:153-182) ----
         iidx = jnp.where(enter, payload, 0)
         fi = scene.inst_f[iidx]  # (R, 21): inv cols (12) + rot (9)
-        ui = scene.inst_u[iidx]  # (R, 4)
+        ui = scene.inst_u[iidx]  # (R, 6)
         bo = Vec3(
             fi[:, 0] * org.x + fi[:, 3] * org.y + fi[:, 6] * org.z + fi[:, 9],
             fi[:, 1] * org.x + fi[:, 4] * org.y + fi[:, 7] * org.z + fi[:, 10],
@@ -286,8 +280,7 @@ def ray_query(
 
         b_count = upd(s.b_count, ui[:, 0])
         b_offset = upd(s.b_offset, ui[:, 1])
-        m_index_offset = upd(s.m_index_offset, ui[:, 2])
-        m_base_vertex = upd(s.m_base_vertex, ui[:, 3])
+        m_tri_offset = upd(s.m_tri_offset, ui[:, 4])
         b_link_offset = upd(s.b_link_offset, blink)
         b_org = where3(enter, bo, Vec3(s.b_org_x, s.b_org_y, s.b_org_z))
         b_inv = where3(enter, binv, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z))
@@ -298,16 +291,11 @@ def ray_query(
         in_blas = in_blas | enter
 
         # ---- triangle test (reference: ray_query.hh:225-246) ----
-        tri_base = jnp.where(test, m_index_offset + payload * 3, 0)
-        i0 = scene.tri[tri_base]
-        i1 = scene.tri[tri_base + 1]
-        i2 = scene.tri[tri_base + 2]
-        v0 = jnp.where(test, m_base_vertex + i0, 0)
-        v1 = jnp.where(test, m_base_vertex + i1, 0)
-        v2 = jnp.where(test, m_base_vertex + i2, 0)
-        p0 = Vec3(scene.pos_x[v0], scene.pos_y[v0], scene.pos_z[v0])
-        p1 = Vec3(scene.pos_x[v1], scene.pos_y[v1], scene.pos_z[v1])
-        p2 = Vec3(scene.pos_x[v2], scene.pos_y[v2], scene.pos_z[v2])
+        tri_row = jnp.where(test, m_tri_offset + payload, 0)
+        tp = scene.tri_pos[tri_row]  # (R, 12)
+        p0 = Vec3(tp[:, 0], tp[:, 1], tp[:, 2])
+        p1 = Vec3(tp[:, 3], tp[:, 4], tp[:, 5])
+        p2 = Vec3(tp[:, 6], tp[:, 7], tp[:, 8])
         thit_ok, tu, tv, tt, tback = _tri_intersect(
             b_org, b_axis, b_S, p0, p1, p2
         )
@@ -342,8 +330,7 @@ def ray_query(
             b_inv_x=b_inv.x, b_inv_y=b_inv.y, b_inv_z=b_inv.z,
             b_S_x=b_S.x, b_S_y=b_S.y, b_S_z=b_S.z,
             b_axis=b_axis,
-            m_index_offset=m_index_offset,
-            m_base_vertex=m_base_vertex,
+            m_tri_offset=m_tri_offset,
             cand_inst=cand_inst,
             done=done,
             tmax=tmax,

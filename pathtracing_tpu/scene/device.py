@@ -1,12 +1,19 @@
-"""Device-resident scene: flat SoA tables as a JAX pytree.
+"""Device-resident scene: row-gatherable tables as a JAX pytree.
 
 The reference passes raw pointers to flattened buffers into the kernel
-(reference: main.cc:26-38, path_tracer.hh:306-319). Here the same data is
-packed into TPU-friendly SoA arrays: one 1-D table per vector component so
-per-lane gathers touch dense rows, instance matrices pre-transposed into the
-column layout the traversal's matrix products consume, and per-subframe
-camera/light parameters as small gatherable tables (motion blur makes the
-subframe a *per-ray* property, reference: path_tracer.hh:655-657).
+(reference: main.cc:26-38, path_tracer.hh:306-319). On TPU the deciding
+constraint is the gather unit: row gathers from (N, W) tables stream at
+HBM bandwidth while per-element gathers from 1-D tables crawl (measured
+865 GB/s vs 5 GB/s on v5e). Every hot lookup is therefore packed into one
+row:
+
+  nl8     (8N, 8)  node AABB + {accept, cancel} fused per (octant, node),
+                   indexed by the link index (reference layout bvh.cc:217-226)
+  tri_pos (T, 12)  triangle vertex positions by global triangle id
+  inst_f  (I, 21)  inv_transform columns (12) + rotation rows (9)
+  inst_u  (I, 6)   blas count/offset, index_offset, base_vertex, tri_offset
+  vattr   (V, 12)  normal(3) + albedo(4) + material(4) + pad
+  sf_*    (S, _)   per-subframe TLAS handle, camera, light rows
 """
 
 from __future__ import annotations
@@ -21,60 +28,91 @@ f32 = np.float32
 
 
 class SceneDevice(NamedTuple):
-    # BVH node AABBs, SoA (reference layout: bvh.hh:45-49)
-    node_min_x: Array
-    node_min_y: Array
-    node_min_z: Array
-    node_max_x: Array
-    node_max_y: Array
-    node_max_z: Array
-    # stackless links, 8 octant tables per BVH (reference: bvh.cc:217-226)
-    link_accept: Array  # int32; <0 => leaf
-    link_cancel: Array
-    # TLAS instances: inv_transform columns (12) + transform rot rows (9)
-    inst_f: Array  # (I, 21) f32
-    inst_u: Array  # (I, 4) int32: blas_count, blas_offset, index_offset, base_vertex
-    # mesh buffers (reference: mesh.hh:32-44)
-    tri: Array  # (K,) int32
-    pos_x: Array
-    pos_y: Array
-    pos_z: Array
-    nrm_x: Array
-    nrm_y: Array
-    nrm_z: Array
-    alb_r: Array
-    alb_g: Array
-    alb_b: Array
-    alb_a: Array
-    mat_r: Array  # roughness
-    mat_m: Array  # metallic
-    mat_t: Array  # transmission
-    mat_e: Array  # emission
-    # per-subframe state (reference: scene.hh:26-34)
+    nl8: Array        # (8N, 8) f32; cols 6,7 are int32 bit patterns
+    tri_pos: Array    # (T, 12) f32
+    tri_idx: Array    # (T, 4) int32 — absolute vertex ids [i0,i1,i2,pad]
+    inst_f: Array     # (I, 21) f32
+    inst_u: Array     # (I, 6) int32
+    vattr: Array      # (V, 12) f32
     sf_tlas_count: Array  # (S,) int32
     sf_tlas_offset: Array
-    sf_cam: Array  # (S, 18) f32: orientation rows 9, position 3, aspect,
-    #               inv_focal_length, focal_distance, ap_angle, ap_polygon, ap_radius
-    sf_light: Array  # (S, 7) f32: direction 3, color 3, cos_solid_angle
+    sf_cam: Array     # (S, 18) f32
+    sf_light: Array   # (S, 7) f32
 
 
 def _instance_rows(instances):
     I = max(len(instances), 1)
     inst_f = np.zeros((I, 21), f32)
-    inst_u = np.zeros((I, 4), np.int32)
+    inst_u = np.zeros((I, 6), np.int32)
     for i, inst in enumerate(instances):
         inv = inst.inv_transform.astype(f32)
-        # columns 0..2 of all 4 rows: used by mul_m4v4 / mul_m3v3 forms
-        # (reference: ray_query.hh:159-165)
+        # columns 0..2 of all 4 rows (used by mul_m4v4/mul_m3v3 forms,
+        # reference: ray_query.hh:159-165)
         inst_f[i, 0:12] = inv[:, 0:3].reshape(-1)
         inst_f[i, 12:21] = inst.transform[:3, :3].astype(f32).reshape(-1)
-        inst_u[i] = (
+        inst_u[i, 0:5] = (
             inst.blas.node_count,
             inst.blas.node_offset,
             inst.mesh.index_offset,
             inst.mesh.base_vertex_offset,
+            inst.mesh.index_offset // 3,
         )
     return inst_f, inst_u
+
+
+def pack_nl8(bvh_nodes, bvh_links, segments) -> np.ndarray:
+    """Fused node+link rows for every traversable BVH segment.
+
+    segments: iterable of (node_offset, node_count). Rows of BVHs that are
+    never traversed are left zero (never read).
+    """
+    nodes = bvh_nodes.astype(f32)
+    links_bits = np.ascontiguousarray(bvh_links, np.uint32).view(f32)
+    out = np.zeros((8 * len(nodes), 8), f32)
+    seen = set()
+    for offset, count in segments:
+        if count == 0 or (offset, count) in seen:
+            continue
+        seen.add((offset, count))
+        block = slice(8 * offset, 8 * offset + 8 * count)
+        out[block, 0:6] = np.tile(nodes[offset : offset + count], (8, 1))
+        out[block, 6:8] = links_bits[block]
+    return out
+
+
+def pack_tri_tables(indices, pos, meshes):
+    """(T, 12) packed triangle vertices + (T, 4) absolute vertex ids,
+    both in global triangle order (index_offset/3 + prim).
+
+    meshes: iterable of MeshHandle covering the triangles that can be hit.
+    """
+    t_total = max(len(indices) // 3, 1)
+    out_pos = np.zeros((t_total, 12), f32)
+    out_idx = np.zeros((t_total, 4), np.int32)
+    seen = set()
+    for m in meshes:
+        key = (m.index_offset, m.triangle_count)
+        if m.triangle_count == 0 or key in seen:
+            continue
+        seen.add(key)
+        tri = indices[
+            m.index_offset : m.index_offset + 3 * m.triangle_count
+        ].reshape(-1, 3).astype(np.int64) + m.base_vertex_offset
+        p = pos[tri]  # (t, 3, 3)
+        t0 = m.index_offset // 3
+        out_pos[t0 : t0 + m.triangle_count, 0:9] = p.reshape(-1, 9)
+        out_idx[t0 : t0 + m.triangle_count, 0:3] = tri
+    return out_pos, out_idx
+
+
+def pack_vattr(normal, albedo, material) -> np.ndarray:
+    v = max(len(normal), 1)
+    out = np.zeros((v, 12), f32)
+    if len(normal):
+        out[:, 0:3] = normal
+        out[:, 3:7] = albedo
+        out[:, 7:11] = material
+    return out
 
 
 def pack_scene(
@@ -91,6 +129,9 @@ def pack_scene(
     """
     indices, pos, normal, albedo, material = mesh_arrays
     inst_f, inst_u = _instance_rows(instances)
+
+    segments = [(i.blas.node_offset, i.blas.node_count) for i in instances]
+    segments += [(sf.tlas.node_offset, sf.tlas.node_count) for sf in subframes]
 
     S = max(len(subframes), 1)
     sf_tlas = np.zeros((S, 2), np.int32)
@@ -111,35 +152,17 @@ def pack_scene(
         sf_light[i, 3:6] = np.asarray(sf.light.color, f32)
         sf_light[i, 6] = sf.light.cos_solid_angle
 
+    tri_pos, tri_idx = pack_tri_tables(
+        indices, pos, [i.mesh for i in instances]
+    )
     dev = jnp.asarray
-    nodes = bvh_nodes.astype(f32)
-    links = np.ascontiguousarray(bvh_links, np.uint32).view(np.int32)
     return SceneDevice(
-        node_min_x=dev(nodes[:, 0]),
-        node_min_y=dev(nodes[:, 1]),
-        node_min_z=dev(nodes[:, 2]),
-        node_max_x=dev(nodes[:, 3]),
-        node_max_y=dev(nodes[:, 4]),
-        node_max_z=dev(nodes[:, 5]),
-        link_accept=dev(links[:, 0]),
-        link_cancel=dev(links[:, 1]),
+        nl8=dev(pack_nl8(bvh_nodes, bvh_links, segments)),
+        tri_pos=dev(tri_pos),
+        tri_idx=dev(tri_idx),
         inst_f=dev(inst_f),
         inst_u=dev(inst_u),
-        tri=dev(np.ascontiguousarray(indices, np.uint32).view(np.int32)),
-        pos_x=dev(pos[:, 0]),
-        pos_y=dev(pos[:, 1]),
-        pos_z=dev(pos[:, 2]),
-        nrm_x=dev(normal[:, 0]),
-        nrm_y=dev(normal[:, 1]),
-        nrm_z=dev(normal[:, 2]),
-        alb_r=dev(albedo[:, 0]),
-        alb_g=dev(albedo[:, 1]),
-        alb_b=dev(albedo[:, 2]),
-        alb_a=dev(albedo[:, 3]),
-        mat_r=dev(material[:, 0]),
-        mat_m=dev(material[:, 1]),
-        mat_t=dev(material[:, 2]),
-        mat_e=dev(material[:, 3]),
+        vattr=dev(pack_vattr(normal, albedo, material)),
         sf_tlas_count=dev(sf_tlas[:, 0]),
         sf_tlas_offset=dev(sf_tlas[:, 1]),
         sf_cam=dev(sf_cam),
