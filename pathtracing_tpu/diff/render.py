@@ -1,0 +1,80 @@
+"""Differentiable (inverse) rendering.
+
+The integrator is pure JAX, so reverse-mode AD flows end-to-end with one
+carve-out: BVH traversal is discrete and runs under stop_gradient; the hit's
+(u, v, t) are re-derived differentiably from the hit ids
+(ops/integrator.trace_ray), giving fixed-topology gradients — the standard
+"differentiable rendering w.r.t. materials/lights/vertices at fixed
+visibility" model. Silhouette (visibility) gradients are out of scope and
+documented as such.
+
+Differentiable leaves of SceneDevice:
+  vattr   — per-vertex normals, albedo, materials
+  tri_pos — triangle vertex positions (shading + intersection re-derivation)
+  inst_f  — instance transforms
+  sf_cam / sf_light — per-subframe camera and sun parameters
+
+Note nl8 only feeds the discrete traversal, so its cotangent is zero by
+construction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pathtracing_tpu.config import RenderConfig
+from pathtracing_tpu.ops.integrator import path_trace_samples
+from pathtracing_tpu.utils.vec import Vec3
+
+DIFFERENTIABLE_FIELDS = ("vattr", "tri_pos", "inst_f", "sf_cam", "sf_light")
+
+
+def render_value_and_grad(
+    config: RenderConfig,
+    scene,
+    xs,
+    ys,
+    sample_indices,
+    loss_fn: Callable[[Vec3], jnp.ndarray] | None = None,
+    fields: Sequence[str] = DIFFERENTIABLE_FIELDS,
+):
+    """Returns (loss, grads) where grads maps field name -> cotangent array.
+
+    loss_fn maps the per-lane radiance Vec3 to a scalar; defaults to mean
+    luminance. sample_indices: (R,) int32 — one sample per lane (average
+    multiple calls for multi-spp gradients; samples are independent).
+    """
+    if loss_fn is None:
+        def loss_fn(c):
+            return jnp.mean(
+                0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
+            )
+
+    def forward(params):
+        s = scene._replace(**params)
+        c = path_trace_samples(config, s, xs, ys, sample_indices)
+        return loss_fn(c)
+
+    params = {f: getattr(scene, f) for f in fields}
+    loss, grads = jax.value_and_grad(forward)(params)
+    return loss, grads
+
+
+def make_render_grad_fn(
+    config: RenderConfig,
+    fields: Sequence[str] = DIFFERENTIABLE_FIELDS,
+    loss_fn: Callable[[Vec3], jnp.ndarray] | None = None,
+):
+    """Jittable (scene, xs, ys, sample_indices) -> (loss, grads)."""
+
+    @jax.jit
+    def fn(scene, xs, ys, sample_indices):
+        return render_value_and_grad(
+            config, scene, xs, ys, sample_indices, loss_fn, fields
+        )
+
+    return fn

@@ -19,7 +19,7 @@ from pathtracing_tpu.utils.vec import (
     dot3,
     luminance,
     mix,
-    normalize3,
+    normalize3_safe,
     reflect,
     refract,
     where3,
@@ -33,9 +33,8 @@ def fresnel_schlick_bidir_attenuated(v_dot_h, f0, eta, roughness):
     """reference: path_tracer.hh:89-98."""
     sin_theta2 = eta * eta * (1.0 - v_dot_h * v_dot_h)
     tir = jnp.logical_and(eta > 1.0, sin_theta2 >= 1.0)
-    v_dot_h = jnp.where(
-        eta > 1.0, jnp.sqrt(jnp.maximum(1.0 - sin_theta2, 0.0)), v_dot_h
-    )
+    sin_safe = jnp.where(sin_theta2 >= 1.0, 0.5, sin_theta2)  # grad guard
+    v_dot_h = jnp.where(eta > 1.0, jnp.sqrt(1.0 - sin_safe), v_dot_h)
     f = f0 + (jnp.maximum(1.0 - roughness, f0) - f0) * jnp.power(
         jnp.maximum(1.0 - v_dot_h, 0.0), 5.0
     )
@@ -61,16 +60,16 @@ def trowbridge_reitz_masking_shadowing(ldotn, ldoth, vdotn, vdoth, a):
     denom = jnp.abs(vdotn) * jnp.sqrt(
         ldotn * ldotn - a2 * ldotn * ldotn + a2
     ) + jnp.abs(ldotn) * jnp.sqrt(vdotn * vdotn - a2 * vdotn * vdotn + a2)
-    return jnp.where(bad, jnp.float32(0.0), 0.5 / denom)
+    g = 0.5 / jnp.where(denom == 0, 1.0, denom)
+    return jnp.where(bad | (denom == 0), jnp.float32(0.0), g)
 
 
 def trowbridge_reitz_masking(vdotn, vdoth, a):
     """Separable G1 (reference: path_tracer.hh:125-129)."""
     bad = vdotn * vdoth < 0
-    g = 2.0 * vdotn / (
-        vdotn + jnp.sqrt(vdotn * vdotn * (1.0 - a * a) + a * a)
-    )
-    return jnp.where(bad, jnp.float32(0.0), g)
+    denom = vdotn + jnp.sqrt(vdotn * vdotn * (1.0 - a * a) + a * a)
+    g = 2.0 * vdotn / jnp.where(denom == 0, 1.0, denom)
+    return jnp.where(bad | (denom == 0), jnp.float32(0.0), g)
 
 
 class BsdfCore(NamedTuple):
@@ -114,8 +113,10 @@ def bsdf_core(
     brdf_refl_pdf = g1 * distribution / (4.0 * view.z)
     brdf_diff_pdf = cosine_hemisphere_pdf(light.z)
 
-    # BTDF branch
+    # BTDF branch (inf-guarded for gradient flow; denom==0 lanes are
+    # pathological in the reference too)
     denom = eta * vdoth + ldoth
+    denom = jnp.where(denom == 0, 1.0, denom)
     btdf_color = albedo * (
         transmission
         * jnp.abs(vdoth * ldoth)
@@ -171,8 +172,8 @@ def bsdf_eval(
     """Tangent-space BSDF evaluation; returns (color, pdf)
     (reference: path_tracer.hh:184-222)."""
     refl = light.z > 0
-    h_refl = normalize3(view + light)
-    h_trans = jnp.sign(eta - 1.0) * normalize3(light + eta * view)
+    h_refl = normalize3_safe(view + light)
+    h_trans = jnp.sign(eta - 1.0) * normalize3_safe(light + eta * view)
     h = where3(refl, h_refl, h_trans)
     distribution = trowbridge_reitz_distribution(h.z, roughness)
 
@@ -226,7 +227,7 @@ def sample_bsdf(
     d_refl = reflect(-view, h)
     d_trans = refract(-view, h, eta)
     d_diff = sample_cosine_hemisphere(Vec2(u.x, u.y))
-    h_diff = normalize3(d_diff + view)
+    h_diff = normalize3_safe(d_diff + view)
 
     out_dir = where3(is_refl, d_refl, where3(is_trans, d_trans, d_diff))
     h_used = where3(is_diff, h_diff, h)

@@ -107,7 +107,34 @@ def trace_ray(
     a1 = scene.vattr[ti[:, 1]]
     a2 = scene.vattr[ti[:, 2]]
 
-    bu, bv, bw = hit.bary_u, hit.bary_v, hit.bary_w
+    # Differentiable re-derivation of (u, v, t) at fixed topology: the
+    # traversal is discrete (stop_gradient), so the watertight test is
+    # recomputed here from the hit ids with differentiable inputs —
+    # gradients flow to vertex positions, instance transforms, and the ray.
+    from pathtracing_tpu.ops.traversal import _tri_intersect, _tri_preprocess
+
+    bo = Vec3(
+        fi[:, 0] * origin.x + fi[:, 3] * origin.y + fi[:, 6] * origin.z + fi[:, 9],
+        fi[:, 1] * origin.x + fi[:, 4] * origin.y + fi[:, 7] * origin.z + fi[:, 10],
+        fi[:, 2] * origin.x + fi[:, 5] * origin.y + fi[:, 8] * origin.z + fi[:, 11],
+    )
+    bd = Vec3(
+        fi[:, 0] * d.x + fi[:, 3] * d.y + fi[:, 6] * d.z,
+        fi[:, 1] * d.x + fi[:, 4] * d.y + fi[:, 7] * d.z,
+        fi[:, 2] * d.x + fi[:, 5] * d.y + fi[:, 8] * d.z,
+    )
+    baxis, bS = _tri_preprocess(bd)
+    tp = scene.tri_pos[tri_row]  # (R, 12), differentiable gather
+    _, du, dv, dt, _ = _tri_intersect(
+        bo, baxis, bS,
+        Vec3(tp[:, 0], tp[:, 1], tp[:, 2]),
+        Vec3(tp[:, 3], tp[:, 4], tp[:, 5]),
+        Vec3(tp[:, 6], tp[:, 7], tp[:, 8]),
+    )
+    thit = jnp.where(miss, hit.thit, dt)
+    bu = jnp.where(miss, hit.bary_u, du)
+    bv = jnp.where(miss, hit.bary_v, dv)
+    bw = 1.0 - bu - bv
     attr = a0 * bu[:, None] + a1 * bv[:, None] + a2 * bw[:, None]
     n = Vec3(attr[:, 0], attr[:, 1], attr[:, 2])
     alb = Vec3(attr[:, 3], attr[:, 4], attr[:, 5])
@@ -131,11 +158,11 @@ def trace_ray(
     nw = where3(hit.back, -nw, nw)
 
     tbn = create_tangent_space(nw)
-    pos = origin + d * hit.thit
+    pos = origin + d * thit
 
     zero = jnp.zeros_like(hit.thit)
     return HitInfo(
-        thit=hit.thit,
+        thit=thit,
         pos=pos,
         tbn=tbn,
         albedo=where3(miss, miss_albedo, alb),
@@ -298,10 +325,17 @@ def path_trace_samples(
         )
 
         bsdf_pdf = sample.pdf
+        # guarded divisions: pdf==0 lanes keep the reference's inf forward
+        # value but contribute zero gradient (inf is a where-constant)
+        pdf_safe = jnp.where(bsdf_pdf == 0, 1.0, bsdf_pdf)
         mis_pdf = jnp.where(
             bsdf_pdf < 0,
             -bsdf_pdf,
-            (info.nee_pdf * info.nee_pdf + bsdf_pdf * bsdf_pdf) / bsdf_pdf,
+            jnp.where(
+                bsdf_pdf == 0,
+                jnp.inf,
+                (info.nee_pdf * info.nee_pdf + bsdf_pdf * bsdf_pdf) / pdf_safe,
+            ),
         )
 
         attenuation = where3(
@@ -312,15 +346,17 @@ def path_trace_samples(
             seed, light.direction, light.color, ray_o, ray_dir, info.thit, active
         )
 
+        inv_mis = jnp.where(jnp.isinf(mis_pdf), 0.0, 1.0 / mis_pdf)
         contribution = contribution + where3(
             active,
             attenuation
             * (in_scatter + atmo_att * info.albedo * info.emission)
-            / mis_pdf,
+            * inv_mis,
             Vec3(zero, zero, zero),
         )
+        inv_abs_pdf = jnp.where(bsdf_pdf == 0, jnp.inf, 1.0 / jnp.abs(pdf_safe))
         attenuation = where3(
-            active, attenuation * atmo_att / jnp.abs(bsdf_pdf), attenuation
+            active, attenuation * atmo_att * inv_abs_pdf, attenuation
         )
 
         # path-space regularization (reference: path_tracer.hh:734-737)
@@ -330,7 +366,7 @@ def path_trace_samples(
             * jnp.maximum(
                 1.0
                 - f32(config.path_space_regularization_gamma)
-                / jnp.power(jnp.abs(bsdf_pdf), 0.25),
+                / jnp.power(jnp.where(bsdf_pdf > 0, bsdf_pdf, 1.0), 0.25),
                 0.0,
             ),
             regularization,

@@ -95,6 +95,7 @@ def sample_ggx_vndf(view: Vec3, roughness, u: Vec2) -> Vec3:
     hy = roughness * h.y
     hz = jnp.maximum(0.0, h.z)
     l2 = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+    l2 = jnp.where(l2 == 0, 1.0, l2)
     out = Vec3(hx / l2, hy / l2, hz / l2)
 
     delta = roughness < 1e-3

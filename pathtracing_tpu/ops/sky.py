@@ -71,9 +71,14 @@ def atmosphere_attenuation(jitter, pos: Vec3, view: Vec3, tmax):
     for i in range(iters):
         t = segment * (jitter + i)
         height = length3(pos + t * view - earth) - _EARTH_R
+        shadowed = jnp.logical_or(shadowed, height < 0)
+        # clamp for the exponentials only: deep-underground samples would
+        # produce exp(+inf) whose zero-cotangent still poisons gradients;
+        # the unclamped height drives `shadowed`, so forward values of all
+        # surviving lanes are identical (reference: path_tracer.hh:479-485)
+        height = jnp.maximum(height, f32(-1e4))
         ray_od = ray_od + jnp.exp(-height / _RAY_H)
         mie_od = mie_od + jnp.exp(-height / _MIE_H)
-        shadowed = jnp.logical_or(shadowed, height < 0)
 
     tau = (_RAY_COEF * ray_od + _MIE_COEF * mie_od) * segment
     att = Vec3(jnp.exp(-tau.x), jnp.exp(-tau.y), jnp.exp(-tau.z))
@@ -146,9 +151,10 @@ def atmosphere_scattering(
         for j in range(ATMOSPHERE_SECONDARY_ITERATIONS):
             lt = light_segment * (jitter.y + j)
             height = length3(p + lt * light_dir - earth) - _EARTH_R
+            shadowed = jnp.logical_or(shadowed, height < 0)
+            height = jnp.maximum(height, f32(-1e4))  # see attenuation note
             l_ray_od = l_ray_od + jnp.exp(-height / _RAY_H)
             l_mie_od = l_mie_od + jnp.exp(-height / _MIE_H)
-            shadowed = jnp.logical_or(shadowed, height < 0)
 
         height = jnp.maximum(length3(p - earth) - _EARTH_R, 0.0)
         ray_density = jnp.exp(-height / _RAY_H) * segment

@@ -95,7 +95,9 @@ def _tri_intersect(origin: Vec3, axis, S: Vec3, p0: Vec3, p1: Vec3, p2: Vec3):
     y3 = y2 - S.y * z2
     uvw = cross(y3, x3)
     det = uvw.x + uvw.y + uvw.z
-    inv_det = 1.0 / det
+    # guarded reciprocal: det==0 lanes are rejected by `hit` anyway, and an
+    # inf here would poison gradients of the where that discards them
+    inv_det = 1.0 / jnp.where(det == 0, 1.0, det)
     u = uvw.x * inv_det
     v = uvw.y * inv_det
     t = dot3(uvw, S.z * z2) * inv_det
@@ -178,6 +180,13 @@ def ray_query(
     candidate (reference: path_tracer.hh:415-427).
     Returns (RayHit, occluded).
     """
+    # Traversal is discrete: gradients flow through the *recomputed* hit
+    # (integrator.trace_ray re-derives u/v/t differentiably from the hit
+    # ids), never through the search itself.
+    scene = jax.tree.map(jax.lax.stop_gradient, scene)
+    org = jax.tree.map(jax.lax.stop_gradient, org)
+    d = jax.tree.map(jax.lax.stop_gradient, d)
+
     R = org.x.shape
     i32 = lambda v: jnp.full(R, v, jnp.int32)
     f32 = lambda v: jnp.full(R, v, jnp.float32)
@@ -185,8 +194,9 @@ def ray_query(
     t_inv = _safe_inv(d)
     t_link_offset = tlas_offset * 8 + _octant(d) * tlas_count
     tmin = jnp.float32(tmin)
-    if not isinstance(tmax0, jnp.ndarray):
-        tmax0 = f32(tmax0)
+    tmax0 = jax.lax.stop_gradient(
+        jnp.broadcast_to(jnp.asarray(tmax0, jnp.float32), R)
+    )
 
     state = _TravState(
         t_node=i32(0),

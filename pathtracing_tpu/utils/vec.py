@@ -228,9 +228,16 @@ def refract(i: Vec3, n: Vec3, eta) -> Vec3:
     ndoti = dot3(n, i)
     k = 1.0 - eta * eta * (1.0 - ndoti * ndoti)
     tir = k < 0.0
-    k = jnp.maximum(k, 0.0)
+    k = jnp.where(tir, 1.0, k)  # grad guard: sqrt'(0)=inf under the where
     out = eta * i - (eta * ndoti + jnp.sqrt(k)) * n
     return where3(tir, Vec3(jnp.zeros_like(k), jnp.zeros_like(k), jnp.zeros_like(k)), out)
+
+
+def normalize3_safe(a: Vec3) -> Vec3:
+    """normalize with zero-length (and gradient) guard for select chains."""
+    l = length3(a)
+    l = jnp.where(l == 0, 1.0, l)
+    return a / l
 
 
 def sign(v):
