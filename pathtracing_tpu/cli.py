@@ -29,7 +29,24 @@ def main(argv=None):
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--resume", action="store_true", help="skip existing frames")
     ap.add_argument("--tile-pixels", type=int, default=1 << 15)
+    ap.add_argument(
+        "--sample-range",
+        type=int,
+        nargs=2,
+        metavar=("A", "B"),
+        help="render only samples [A,B) per frame, writing partial "
+        "accumulations (frame_NNNN.part_A_B.npz) instead of BMPs; "
+        "partials from any machine merge with --merge",
+    )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge partial sample accumulations in --out into BMPs",
+    )
     args = ap.parse_args(argv)
+
+    if args.merge:
+        return merge_partials(args)
 
     from pathtracing_tpu.config import PRODUCTION, TESTING
     from pathtracing_tpu.io.bmp import write_bmp
@@ -87,19 +104,105 @@ def main(argv=None):
         )
 
         t0 = time.perf_counter()
-        colors, image = render_frame(
-            config, dev, tile_pixels=args.tile_pixels
+        if args.sample_range:
+            a, b = args.sample_range
+            from pathtracing_tpu.render import render_pixels
+
+            W, H = config.image_width, config.image_height
+            idx = np.arange(W * H, dtype=np.int32)
+            sums = render_pixels(
+                config, dev, idx % W, idx // W,
+                spp=b - a, sample_base=a, average=False,
+                tile_pixels=args.tile_pixels,
+            ).reshape(H, W, 3)
+            part = os.path.join(
+                args.out, f"frame_{frame_index:04d}.part_{a}_{b}.npz"
+            )
+            np.savez_compressed(part, sums=sums, sample_range=(a, b))
+        else:
+            colors, image = render_frame(
+                config, dev, tile_pixels=args.tile_pixels
+            )
+        dt = time.perf_counter() - t0
+        n_samples = config.image_width * config.image_height * (
+            (args.sample_range[1] - args.sample_range[0])
+            if args.sample_range
+            else config.samples_per_pixel
         )
         print(
-            f"FRAME #{frame_index} EXECUTION TIME OF render() : "
-            f"{(time.perf_counter()-t0)*1e3:.0f}ms"
+            f"FRAME #{frame_index} EXECUTION TIME OF render() : {dt*1e3:.0f}ms "
+            f"({n_samples/dt/1e6:.2f} Msamples/s)"
         )
 
-        write_bmp(out_path, image)
+        if not args.sample_range:
+            write_bmp(out_path, image)
     print(
         f"\n\nEXECUTION TIME OF PROGRAM FOR {end-begin} FRAMES: "
         f"{(time.perf_counter()-total_t0)*1e3:.0f}ms"
     )
+
+
+def merge_partials(args):
+    """Merge frame_NNNN.part_A_B.npz partial sums into tonemapped BMPs.
+
+    The sample-range seeding contract makes partials order-independent and
+    machine-independent; overlapping or missing ranges are reported.
+    """
+    import glob
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.io.bmp import write_bmp
+    from pathtracing_tpu.ops.tonemap import tonemap
+    from pathtracing_tpu.utils.vec import Vec3
+
+    pattern = re.compile(r"frame_(\d{4})\.part_(\d+)_(\d+)\.npz$")
+    frames: dict = {}
+    for path in sorted(glob.glob(os.path.join(args.out, "frame_*.part_*.npz"))):
+        m = pattern.search(path)
+        if not m:
+            continue
+        frames.setdefault(int(m.group(1)), []).append(
+            (int(m.group(2)), int(m.group(3)), path)
+        )
+
+    if not frames:
+        print(f"no partials found in {args.out}")
+        return 1
+
+    for frame_index, parts in sorted(frames.items()):
+        parts.sort()
+        covered = []
+        total = None
+        n_samples = 0
+        for a, b, path in parts:
+            data = np.load(path)
+            sums = data["sums"]
+            total = sums if total is None else total + sums
+            n_samples += b - a
+            covered.append((a, b))
+        # coverage check
+        merged_ok = True
+        pos = covered[0][0]
+        for a, b in covered:
+            if a != pos:
+                merged_ok = False
+            pos = b
+        if not merged_ok:
+            print(f"FRAME #{frame_index}: WARNING ranges {covered} have gaps/overlap")
+        colors = total / np.float32(n_samples)
+        bb, gg, rr, aa = jax.jit(tonemap)(
+            Vec3(*(jnp.asarray(colors[..., i]) for i in range(3)))
+        )
+        image = np.stack(
+            [np.asarray(bb), np.asarray(gg), np.asarray(rr), np.asarray(aa)], -1
+        )
+        out_path = os.path.join(args.out, f"frame_{frame_index:04d}.bmp")
+        write_bmp(out_path, image)
+        print(f"FRAME #{frame_index}: merged {n_samples} spp from {len(parts)} partials -> {out_path}")
+    return 0
 
 
 if __name__ == "__main__":

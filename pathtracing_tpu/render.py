@@ -22,8 +22,13 @@ from pathtracing_tpu.utils.vec import Vec3
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4))
-def _render_tile(config: RenderConfig, scene, xs, ys, spp: int):
-    """Sum `spp` samples for each lane; returns (r, g, b) accumulated."""
+def _render_tile(config: RenderConfig, scene, xs, ys, spp: int, sample_base=0):
+    """Sum `spp` samples per lane starting at sample_base; returns (r,g,b).
+
+    Sample ranges are independent given the (x, y, sample_index) seeding
+    (reference: path_tracer.hh:659), so partial ranges rendered anywhere —
+    another device, another host, another run — sum to the full result.
+    """
 
     def body(carry, sample_index):
         acc = carry
@@ -33,7 +38,9 @@ def _render_tile(config: RenderConfig, scene, xs, ys, spp: int):
 
     zero = jnp.zeros(xs.shape, jnp.float32)
     (r, g, b), _ = jax.lax.scan(
-        body, (zero, zero, zero), jnp.arange(spp, dtype=jnp.int32)
+        body,
+        (zero, zero, zero),
+        jnp.arange(spp, dtype=jnp.int32) + jnp.int32(sample_base),
     )
     return r, g, b
 
@@ -45,8 +52,14 @@ def render_pixels(
     ys: np.ndarray,
     spp: int | None = None,
     tile_pixels: int = 1 << 15,
+    sample_base: int = 0,
+    average: bool = True,
 ):
-    """Average radiance for an arbitrary pixel list. Returns (N, 3) f32."""
+    """Radiance for an arbitrary pixel list. Returns (N, 3) f32.
+
+    average=False returns raw sums over [sample_base, sample_base+spp) for
+    sample-range checkpointing (partials merge by addition).
+    """
     spp = spp or config.samples_per_pixel
     n = len(xs)
     out = np.empty((n, 3), np.float32)
@@ -57,11 +70,14 @@ def render_pixels(
         txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
         tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
         r, g, b = _render_tile(
-            config, scene, jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32), spp
+            config, scene, jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32),
+            spp, jnp.int32(sample_base),
         )
         tile = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
         out[start:end] = tile[: end - start]
-    return out / np.float32(spp)
+    if average:
+        return out / np.float32(spp)
+    return out
 
 
 def render_frame(
