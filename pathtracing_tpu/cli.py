@@ -51,7 +51,7 @@ def main(argv=None):
     from pathtracing_tpu.config import PRODUCTION, TESTING
     from pathtracing_tpu.io.bmp import write_bmp
     from pathtracing_tpu.render import render_frame
-    from pathtracing_tpu.scene.device import pack_scene
+    from pathtracing_tpu.scene.device import DevicePacker
     from pathtracing_tpu.scene.loader import (
         get_animation_frame_count,
         load_scene,
@@ -75,6 +75,7 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     scene = load_scene(data_dir=args.data_dir, config=config)
+    packer = DevicePacker(scene)
     print(
         f"EXECUTION TIME OF load_scene() : "
         f"{(time.perf_counter()-t0)*1e3:.0f}ms"
@@ -91,13 +92,7 @@ def main(argv=None):
 
         t0 = time.perf_counter()
         setup_animation_frame(scene, frame_index, config)
-        dev = pack_scene(
-            scene.mesh_buf.arrays(),
-            scene.bvh_buf.nodes,
-            scene.bvh_buf.links,
-            scene.instances,
-            scene.subframes,
-        )
+        dev = packer.pack_frame(scene)
         print(
             f"FRAME #{frame_index} EXECUTION TIME OF setup_animation_frame() : "
             f"{(time.perf_counter()-t0)*1e3:.0f}ms"

@@ -133,6 +133,27 @@ def pack_scene(
     segments = [(i.blas.node_offset, i.blas.node_count) for i in instances]
     segments += [(sf.tlas.node_offset, sf.tlas.node_count) for sf in subframes]
 
+    sf_tlas, sf_cam, sf_light = _subframe_rows(subframes)
+
+    tri_pos, tri_idx = pack_tri_tables(
+        indices, pos, [i.mesh for i in instances]
+    )
+    dev = jnp.asarray
+    return SceneDevice(
+        nl8=dev(pack_nl8(bvh_nodes, bvh_links, segments)),
+        tri_pos=dev(tri_pos),
+        tri_idx=dev(tri_idx),
+        inst_f=dev(inst_f),
+        inst_u=dev(inst_u),
+        vattr=dev(pack_vattr(normal, albedo, material)),
+        sf_tlas_count=dev(sf_tlas[:, 0]),
+        sf_tlas_offset=dev(sf_tlas[:, 1]),
+        sf_cam=dev(sf_cam),
+        sf_light=dev(sf_light),
+    )
+
+
+def _subframe_rows(subframes):
     S = max(len(subframes), 1)
     sf_tlas = np.zeros((S, 2), np.int32)
     sf_cam = np.zeros((S, 18), f32)
@@ -151,20 +172,83 @@ def pack_scene(
         sf_light[i, 0:3] = np.asarray(sf.light.direction, f32)
         sf_light[i, 3:6] = np.asarray(sf.light.color, f32)
         sf_light[i, 6] = sf.light.cos_solid_angle
+    return sf_tlas, sf_cam, sf_light
 
-    tri_pos, tri_idx = pack_tri_tables(
-        indices, pos, [i.mesh for i in instances]
-    )
-    dev = jnp.asarray
-    return SceneDevice(
-        nl8=dev(pack_nl8(bvh_nodes, bvh_links, segments)),
-        tri_pos=dev(tri_pos),
-        tri_idx=dev(tri_idx),
-        inst_f=dev(inst_f),
-        inst_u=dev(inst_u),
-        vattr=dev(pack_vattr(normal, albedo, material)),
-        sf_tlas_count=dev(sf_tlas[:, 0]),
-        sf_tlas_offset=dev(sf_tlas[:, 1]),
-        sf_cam=dev(sf_cam),
-        sf_light=dev(sf_light),
-    )
+
+class DevicePacker:
+    """Incremental frame packing for the animated scene.
+
+    The mesh/BLAS region of the buffers is immutable after load_scene; only
+    the per-frame TLAS tail, the instance list, and the subframe rows
+    change (reference: scene.cc:271-718). The static tables are uploaded
+    once; per frame only the small tail is packed and concatenated
+    on-device.
+    """
+
+    def __init__(self, scene):
+        mesh_arrays = scene.mesh_buf.arrays()
+        indices, pos, normal, albedo, material = mesh_arrays
+        blas_segments = [
+            (blas.node_offset, blas.node_count)
+            for (_, blas) in scene.meshes.values()
+        ]
+        # static region = the BLAS span; any subframe TLAS tail present at
+        # construction time is excluded (it is re-packed per frame)
+        self._static_node_count = max(
+            (off + cnt for off, cnt in blas_segments), default=0
+        )
+        n = self._static_node_count
+        self._static_nl8 = jnp.asarray(
+            pack_nl8(
+                scene.bvh_buf.nodes[:n],
+                scene.bvh_buf.links[: 8 * n],
+                blas_segments,
+            )
+        )
+        tri_pos, tri_idx = pack_tri_tables(
+            indices, pos, [m for (m, _) in scene.meshes.values()]
+        )
+        self._tri_pos = jnp.asarray(tri_pos)
+        self._tri_idx = jnp.asarray(tri_idx)
+        self._vattr = jnp.asarray(pack_vattr(normal, albedo, material))
+
+    def pack_frame(self, scene) -> SceneDevice:
+        """Pack the current frame state (after setup_animation_frame)."""
+        n_static = self._static_node_count
+        nodes = scene.bvh_buf.nodes
+        links = scene.bvh_buf.links
+        tail_nodes = len(nodes) - n_static
+        if tail_nodes > 0:
+            # tail rows live at link indices >= 8*n_static; build only them
+            tail = np.zeros((8 * tail_nodes, 8), f32)
+            tail_links = np.ascontiguousarray(
+                links[8 * n_static :], np.uint32
+            ).view(f32)
+            for sf in scene.subframes:
+                off, cnt = sf.tlas.node_offset, sf.tlas.node_count
+                if cnt == 0:
+                    continue
+                lo = 8 * off - 8 * n_static
+                tail[lo : lo + 8 * cnt, 0:6] = np.tile(
+                    nodes[off : off + cnt], (8, 1)
+                )
+                tail[lo : lo + 8 * cnt, 6:8] = tail_links[lo : lo + 8 * cnt]
+            nl8 = jnp.concatenate([self._static_nl8, jnp.asarray(tail)])
+        else:
+            nl8 = self._static_nl8
+
+        inst_f, inst_u = _instance_rows(scene.instances)
+        sf_tlas, sf_cam, sf_light = _subframe_rows(scene.subframes)
+        dev = jnp.asarray
+        return SceneDevice(
+            nl8=nl8,
+            tri_pos=self._tri_pos,
+            tri_idx=self._tri_idx,
+            inst_f=dev(inst_f),
+            inst_u=dev(inst_u),
+            vattr=self._vattr,
+            sf_tlas_count=dev(sf_tlas[:, 0]),
+            sf_tlas_offset=dev(sf_tlas[:, 1]),
+            sf_cam=dev(sf_cam),
+            sf_light=dev(sf_light),
+        )

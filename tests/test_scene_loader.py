@@ -94,3 +94,30 @@ def test_sun_below_horizon_at_sunset_end(scene):
     setup_animation_frame(scene, 1799, CFG)
     # sunset curve: sun is low/below horizon at the end (scene.cc:691-693)
     assert scene.subframes[-1].light.direction[1] < 0.1
+
+
+def test_device_packer_matches_pack_scene(scene):
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.scene.device import DevicePacker, pack_scene
+    from pathtracing_tpu.scene.loader import setup_animation_frame
+
+    packer = DevicePacker(scene)
+    setup_animation_frame(scene, 10, CFG)
+    a = packer.pack_frame(scene)
+    b = pack_scene(
+        scene.mesh_buf.arrays(),
+        scene.bvh_buf.nodes,
+        scene.bvh_buf.links,
+        scene.instances,
+        scene.subframes,
+    )
+    for name in a._fields:
+        av, bv = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+        if name in ("tri_pos", "tri_idx", "nl8"):
+            # packer covers ALL meshes / BLASes; pack_scene only instanced
+            # ones — every row pack_scene filled must match
+            mask = np.any(bv != 0, axis=tuple(range(1, bv.ndim))) if bv.ndim > 1 else bv != 0
+            np.testing.assert_array_equal(av[: len(bv)][mask], bv[mask], err_msg=name)
+        else:
+            np.testing.assert_array_equal(av, bv, err_msg=name)
