@@ -6,15 +6,17 @@ then per bounce an NEE draw, a BSDF draw, and a *conditional* atmosphere
 draw — lanes that miss or terminate stop consuming their counters exactly
 like the reference's scalar control flow (SURVEY.md §3.2).
 
-The bounce loop is unrolled (MAX_BOUNCES is static); every bounce runs one
-wavefront closest-hit trace and one any-hit shadow trace over the whole
-batch with inactive lanes masked.
+The bounce loop is a ``lax.scan`` of one compiled bounce body
+(MAX_BOUNCES is static); every bounce runs one wavefront closest-hit trace
+and one any-hit shadow trace over the whole batch with inactive lanes
+masked.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple, Any
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -290,7 +292,10 @@ def path_trace_samples(
     regularization = one
     roughness = info.roughness
     active = all_active
-    for _bounce in range(config.max_bounces):
+
+    def bounce_body(carry, _):
+        (seed, info, roughness, attenuation, contribution, regularization,
+         ray_dir, ray_o, active) = carry
         active = active & (info.thit > 0)
 
         # tangent-space view (reference: path_tracer.hh:700-702)
@@ -372,5 +377,21 @@ def path_trace_samples(
             regularization,
         )
         roughness = 1.0 - (1.0 - info.roughness) * regularization
+
+        return (
+            seed, info, roughness, attenuation, contribution, regularization,
+            ray_dir, ray_o, active,
+        ), None
+
+    # One compiled bounce body scanned max_bounces times (identical
+    # structure per bounce; cuts compile time vs unrolling).
+    carry = (
+        seed, info, roughness, attenuation, contribution, regularization,
+        ray_dir, ray_o, active,
+    )
+    carry, _ = jax.lax.scan(
+        bounce_body, carry, None, length=config.max_bounces
+    )
+    contribution = carry[4]
 
     return contribution
