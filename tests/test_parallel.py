@@ -56,3 +56,15 @@ def test_sharded_matches_single_device(scene, tiles, samples):
     ref = _reference_sums(scene, xs, ys, spp)
     # psum reassociates the sample sum; tolerance is float-add reordering
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_frames_for_host_partition():
+    from pathtracing_tpu.parallel.multihost import frames_for_host
+
+    all_frames = []
+    for pid in range(4):
+        all_frames += frames_for_host(0, 30, process_id=pid, n_hosts=4)
+    assert sorted(all_frames) == list(range(30))
+    a = frames_for_host(0, 30, process_id=1, n_hosts=4)
+    b = frames_for_host(0, 30, process_id=2, n_hosts=4)
+    assert not set(a) & set(b)
