@@ -158,6 +158,17 @@ def _slab_hit(nmin: Vec3, nmax: Vec3, org: Vec3, inv: Vec3, tmin, tmax):
     return (near <= far) & (far > tmin) & (near < tmax)
 
 
+class _TravConsts(NamedTuple):
+    """Per-ray loop-invariant inputs (permutable for compaction)."""
+
+    tlas_count: Array
+    tlas_offset: Array
+    t_link_offset: Array
+    org: Vec3
+    d: Vec3
+    t_inv: Vec3
+
+
 def ray_query(
     scene,
     tlas_count: Array,
@@ -170,6 +181,8 @@ def ray_query(
     anyhit: bool = False,
     max_steps: int | None = None,
     return_state: bool = False,
+    compact_after: int | None = 32,
+    compact_div: int = 4,
 ):
     """Trace a batch of rays to completion.
 
@@ -179,6 +192,11 @@ def ray_query(
     path_tracer.hh:346-349); anyhit stops a lane at its first passing
     candidate (reference: path_tracer.hh:415-427).
     Returns (RayHit, occluded).
+
+    Convergence-skew mitigation: after ``compact_after`` full-batch steps,
+    unfinished rays are argsort-compacted into a 1/compact_div prefix and
+    finish there at 1/compact_div the per-step cost; a final full-batch
+    pass mops up any stragglers that did not fit (usually zero steps).
     """
     # Traversal is discrete: gradients flow through the *recomputed* hit
     # (integrator.trace_ray re-derives u/v/t differentiably from the hit
@@ -220,6 +238,62 @@ def ray_query(
         c_prim=i32(0),
         c_back=jnp.zeros(R, bool),
     )
+
+    consts = _TravConsts(
+        tlas_count=tlas_count,
+        tlas_offset=tlas_offset,
+        t_link_offset=t_link_offset,
+        org=org,
+        d=d,
+        t_inv=t_inv,
+    )
+
+    def run(state, consts, steps):
+        return _run_loop(scene, state, consts, tmin, anyhit, steps)
+
+    if (
+        compact_after is not None
+        and max_steps is None
+        and org.x.shape[0] >= 4 * compact_div * 256
+    ):
+        final = run(state, consts, compact_after)
+        # compact unfinished rays into a 1/compact_div prefix
+        perm = jnp.argsort(final.done)  # not-done (False) first
+        P = org.x.shape[0] // compact_div
+        take = perm[:P]
+        state_p = jax.tree.map(lambda a: a[take], final)
+        consts_p = jax.tree.map(lambda a: a[take], consts)
+        state_p = _run_loop(scene, state_p, consts_p, tmin, anyhit, None)
+        final = jax.tree.map(
+            lambda full, part: full.at[take].set(part), final, state_p
+        )
+        # mop-up (zero iterations unless >P rays were unfinished)
+        final = run(final, consts, None)
+    else:
+        final = run(state, consts, max_steps)
+
+    if return_state:
+        return final
+
+    hit = RayHit(
+        thit=final.c_thit,
+        bary_u=final.c_u,
+        bary_v=final.c_v,
+        bary_w=1.0 - final.c_u - final.c_v,
+        inst=final.c_inst,
+        prim=final.c_prim,
+        back=final.c_back,
+    )
+    return hit, final.occluded
+
+
+def _run_loop(scene, state, consts, tmin, anyhit, max_steps):
+    tlas_count = consts.tlas_count
+    tlas_offset = consts.tlas_offset
+    t_link_offset = consts.t_link_offset
+    org = consts.org
+    d = consts.d
+    t_inv = consts.t_inv
 
     def cond(carry):
         s, step = carry
@@ -355,16 +429,4 @@ def ray_query(
         return new_state, step + 1
 
     final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-    if return_state:
-        return final
-
-    hit = RayHit(
-        thit=final.c_thit,
-        bary_u=final.c_u,
-        bary_v=final.c_v,
-        bary_w=1.0 - final.c_u - final.c_v,
-        inst=final.c_inst,
-        prim=final.c_prim,
-        back=final.c_back,
-    )
-    return hit, final.occluded
+    return final
