@@ -20,7 +20,6 @@ construction.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Sequence
 
 import jax

@@ -18,7 +18,6 @@ tables are small and ride along.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -87,3 +87,31 @@ def test_subsampled_image_vs_oracle(scene):
     # 37.2 dB measured at 8 spp; the validator bar is 32 dB and the rare
     # divergent samples dilute ~linearly with spp (256 spp in production).
     assert psnr > 35.0, psnr
+
+
+def test_production_config_compiles(scene):
+    """PRODUCTION preset (5 bounces, 128 subframes) on a tiny batch."""
+    import dataclasses
+
+    from pathtracing_tpu.config import PRODUCTION
+
+    cfg = dataclasses.replace(PRODUCTION, image_width=640, image_height=360)
+    # golden scene has 32 subframe rows; sample_index < 256 keeps in range
+    fn = jax.jit(functools.partial(path_trace_samples, cfg, scene))
+    out = fn(
+        jnp.asarray([100, 200], jnp.int32),
+        jnp.asarray([100, 200], jnp.int32),
+        jnp.asarray([0, 255], jnp.int32),
+    )
+    assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_negative_sample_index_uses_subframe0(scene):
+    """sample_index < 0 => subframe 0 (reference: path_tracer.hh:655-657)."""
+    fn = jax.jit(functools.partial(path_trace_samples, TESTING, scene))
+    neg = fn(
+        jnp.asarray([320], jnp.int32),
+        jnp.asarray([180], jnp.int32),
+        jnp.asarray([-1], jnp.int32),
+    )
+    assert np.isfinite(np.asarray(neg.x)).all()
