@@ -43,6 +43,16 @@ def main(argv=None):
         action="store_true",
         help="merge partial sample accumulations in --out into BMPs",
     )
+    ap.add_argument(
+        "--metrics",
+        default=None,
+        help="append JSON-lines per-frame metrics to this file",
+    )
+    ap.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler device trace of the first frame",
+    )
     args = ap.parse_args(argv)
 
     if args.merge:
@@ -81,6 +91,11 @@ def main(argv=None):
         f"{(time.perf_counter()-t0)*1e3:.0f}ms"
     )
 
+    from pathtracing_tpu.utils.profiling import MetricsLog, trace_to
+    import contextlib
+
+    metrics = MetricsLog(args.metrics)
+
     begin, end = args.frames
     end = min(end, get_animation_frame_count(config))
     total_t0 = time.perf_counter()
@@ -93,31 +108,39 @@ def main(argv=None):
         t0 = time.perf_counter()
         setup_animation_frame(scene, frame_index, config)
         dev = packer.pack_frame(scene)
+        setup_s = time.perf_counter() - t0
         print(
             f"FRAME #{frame_index} EXECUTION TIME OF setup_animation_frame() : "
-            f"{(time.perf_counter()-t0)*1e3:.0f}ms"
+            f"{setup_s*1e3:.0f}ms"
         )
 
+        profile_ctx = (
+            trace_to(args.profile_dir)
+            if args.profile_dir and frame_index == begin
+            else contextlib.nullcontext()
+        )
         t0 = time.perf_counter()
-        if args.sample_range:
-            a, b = args.sample_range
-            from pathtracing_tpu.render import render_pixels
+        image = None
+        with profile_ctx:
+            if args.sample_range:
+                a, b = args.sample_range
+                from pathtracing_tpu.render import render_pixels
 
-            W, H = config.image_width, config.image_height
-            idx = np.arange(W * H, dtype=np.int32)
-            sums = render_pixels(
-                config, dev, idx % W, idx // W,
-                spp=b - a, sample_base=a, average=False,
-                tile_pixels=args.tile_pixels,
-            ).reshape(H, W, 3)
-            part = os.path.join(
-                args.out, f"frame_{frame_index:04d}.part_{a}_{b}.npz"
-            )
-            np.savez_compressed(part, sums=sums, sample_range=(a, b))
-        else:
-            colors, image = render_frame(
-                config, dev, tile_pixels=args.tile_pixels
-            )
+                W, H = config.image_width, config.image_height
+                idx = np.arange(W * H, dtype=np.int32)
+                sums = render_pixels(
+                    config, dev, idx % W, idx // W,
+                    spp=b - a, sample_base=a, average=False,
+                    tile_pixels=args.tile_pixels,
+                ).reshape(H, W, 3)
+                part = os.path.join(
+                    args.out, f"frame_{frame_index:04d}.part_{a}_{b}.npz"
+                )
+                np.savez_compressed(part, sums=sums, sample_range=(a, b))
+            else:
+                colors, image = render_frame(
+                    config, dev, tile_pixels=args.tile_pixels
+                )
         dt = time.perf_counter() - t0
         n_samples = config.image_width * config.image_height * (
             (args.sample_range[1] - args.sample_range[0])
@@ -128,8 +151,9 @@ def main(argv=None):
             f"FRAME #{frame_index} EXECUTION TIME OF render() : {dt*1e3:.0f}ms "
             f"({n_samples/dt/1e6:.2f} Msamples/s)"
         )
+        metrics.frame(frame_index, setup_s, dt, n_samples, config.max_bounces)
 
-        if not args.sample_range:
+        if image is not None:
             write_bmp(out_path, image)
     print(
         f"\n\nEXECUTION TIME OF PROGRAM FOR {end-begin} FRAMES: "
