@@ -308,6 +308,63 @@ static void cmd_trace(
     fclose(g_out);
 }
 
+// ---------------------------------------------------------------- bsdf ----
+// Kernel-level goldens: bsdf() eval and sample_bsdf() over a deterministic
+// sweep of materials, view/light directions, and RNG values.
+static void cmd_bsdf(const char* out_path)
+{
+    open_out(out_path);
+    uint4 seed = {77, 88, 99, 11};
+    const int N = 2048;
+    std::vector<float> inputs;   // per case: light3 view3 albedo3 rough metal trans eta u3
+    std::vector<float> eval_out; // color3 pdf
+    std::vector<float> samp_out; // dir3 atten3 pdf
+    for(int i = 0; i < N; ++i)
+    {
+        float4 a = generate_uniform_random4(&seed);
+        float4 b = generate_uniform_random4(&seed);
+        float4 c = generate_uniform_random4(&seed);
+        float4 d = generate_uniform_random4(&seed);
+
+        float ct = a.x * 2.0f - 1.0f;
+        float st = sqrt(fmax(0.0f, 1.0f - ct*ct));
+        float ph = a.y * 2.0f * (float)M_PI;
+        float3 light = {st*cosf(ph), st*sinf(ph), ct};
+        float cv = fmax(a.z, 1e-3f);
+        float sv = sqrt(fmax(0.0f, 1.0f - cv*cv));
+        float pv = a.w * 2.0f * (float)M_PI;
+        float3 view = {sv*cosf(pv), sv*sinf(pv), cv};
+
+        float3 albedo = {b.x, b.y, b.z};
+        float rough = b.w * b.w;
+        float metal = c.x > 0.5f ? c.y : 0.0f;
+        float trans = c.z > 0.7f ? c.w : 0.0f;
+        float eta = (i & 1) ? 1.5f : 1.0f/1.5f;
+        float3 u = {d.x, d.y, d.z};
+
+        float pdf = 0;
+        float3 col = bsdf(light, view, albedo, rough, metal, trans, eta, &pdf);
+
+        float3 out_dir, out_att;
+        float out_pdf;
+        sample_bsdf(u, view, albedo, rough, metal, trans, eta,
+                    &out_dir, &out_att, &out_pdf);
+
+        const float in_row[] = {light.x,light.y,light.z, view.x,view.y,view.z,
+            albedo.x,albedo.y,albedo.z, rough, metal, trans, eta, u.x,u.y,u.z};
+        inputs.insert(inputs.end(), in_row, in_row+16);
+        const float ev[] = {col.x, col.y, col.z, pdf};
+        eval_out.insert(eval_out.end(), ev, ev+4);
+        const float sp[] = {out_dir.x,out_dir.y,out_dir.z,
+            out_att.x,out_att.y,out_att.z, out_pdf};
+        samp_out.insert(samp_out.end(), sp, sp+7);
+    }
+    write_array("inputs", 'f', 4, { (uint64_t)N, 16 }, inputs.data());
+    write_array("eval", 'f', 4, { (uint64_t)N, 4 }, eval_out.data());
+    write_array("sample", 'f', 4, { (uint64_t)N, 7 }, samp_out.data());
+    fclose(g_out);
+}
+
 // --------------------------------------------------------------- debug ----
 // Re-drives the reference's per-sample loop step by step (calling its inline
 // API) and prints per-bounce internals for divergence triage.
@@ -506,6 +563,7 @@ int main(int argc, char** argv)
     }
     std::string cmd = argv[1];
     if(cmd == "rng") cmd_rng(argv[2]);
+    else if(cmd == "bsdf") cmd_bsdf(argv[2]);
     else if(cmd == "mesh") cmd_mesh(argv[2], argv[3]);
     else if(cmd == "blas") cmd_blas(argv[2], argv[3]);
     else if(cmd == "scene")
