@@ -87,3 +87,15 @@ def test_grad_matches_finite_difference(scene, loss_and_grads, field, eps, tol):
         )
         checked += 1
     assert checked >= 2, f"not enough nonzero grads for {field}"
+
+
+def test_inverse_rendering_converges():
+    """Gradient descent through the renderer recovers perturbed albedo."""
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "examples"))
+    from inverse_albedo import run
+
+    h = run(steps=12, n_pixels=128, quiet=True)
+    assert h[-1] < h[0] * 0.5, (h[0], h[-1])
