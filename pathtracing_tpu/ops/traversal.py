@@ -216,28 +216,7 @@ def ray_query(
         jnp.broadcast_to(jnp.asarray(tmax0, jnp.float32), R)
     )
 
-    state = _TravState(
-        t_node=i32(0),
-        in_blas=jnp.zeros(R, bool),
-        b_node=i32(0),
-        b_count=i32(0),
-        b_offset=i32(0),
-        b_link_offset=i32(0),
-        b_org_x=f32(0), b_org_y=f32(0), b_org_z=f32(0),
-        b_inv_x=f32(0), b_inv_y=f32(0), b_inv_z=f32(0),
-        b_S_x=f32(0), b_S_y=f32(0), b_S_z=f32(0),
-        b_axis=i32(2),
-        m_tri_offset=i32(0),
-        cand_inst=i32(-1),
-        done=jnp.logical_not(active),
-        tmax=tmax0,
-        occluded=jnp.zeros(R, bool),
-        c_thit=f32(-1.0),
-        c_u=f32(0), c_v=f32(0),
-        c_inst=i32(-1),
-        c_prim=i32(0),
-        c_back=jnp.zeros(R, bool),
-    )
+    state = init_state(R, active, tmax0)
 
     consts = _TravConsts(
         tlas_count=tlas_count,
@@ -286,6 +265,47 @@ def ray_query(
     )
     return hit, final.occluded
 
+
+
+
+def init_state(R, active, tmax0) -> _TravState:
+    """Fresh traversal state (reference: ray_query.hh:121-150)."""
+    i32 = lambda v: jnp.full(R, v, jnp.int32)
+    f32 = lambda v: jnp.full(R, v, jnp.float32)
+    return _TravState(
+        t_node=i32(0),
+        in_blas=jnp.zeros(R, bool),
+        b_node=i32(0),
+        b_count=i32(0),
+        b_offset=i32(0),
+        b_link_offset=i32(0),
+        b_org_x=f32(0), b_org_y=f32(0), b_org_z=f32(0),
+        b_inv_x=f32(0), b_inv_y=f32(0), b_inv_z=f32(0),
+        b_S_x=f32(0), b_S_y=f32(0), b_S_z=f32(0),
+        b_axis=i32(2),
+        m_tri_offset=i32(0),
+        cand_inst=i32(-1),
+        done=jnp.logical_not(active),
+        tmax=tmax0,
+        occluded=jnp.zeros(R, bool),
+        c_thit=f32(-1.0),
+        c_u=f32(0), c_v=f32(0),
+        c_inst=i32(-1),
+        c_prim=i32(0),
+        c_back=jnp.zeros(R, bool),
+    )
+
+
+def make_consts(tlas_count, tlas_offset, org, d) -> "_TravConsts":
+    t_inv = _safe_inv(d)
+    return _TravConsts(
+        tlas_count=tlas_count,
+        tlas_offset=tlas_offset,
+        t_link_offset=tlas_offset * 8 + _octant(d) * tlas_count,
+        org=org,
+        d=d,
+        t_inv=t_inv,
+    )
 
 def _run_loop(scene, state, consts, tmin, anyhit, max_steps):
     tlas_count = consts.tlas_count
