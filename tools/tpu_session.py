@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""One-shot TPU measurement session — run when the chip is healthy.
+
+Order: health check, perf probe (gathers/traversal/iterations), Pallas
+lowering probe, golden-frame render + PSNR, bench. Prints a summary that
+can be pasted into memory/BENCH notes.
+"""
+
+import subprocess
+import sys
+import time
+import pathlib
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main():
+    import numpy as np
+
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp;"
+         "jnp.arange(4.0).sum().block_until_ready(); print(jax.devices())"],
+        timeout=240, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        print("TPU not healthy:", r.stdout, r.stderr)
+        return 1
+    print("health ok:", r.stdout.strip().splitlines()[-1], f"({time.perf_counter()-t0:.0f}s)")
+
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.config import TESTING
+    from pathtracing_tpu.ops.traversal import ray_query
+    from pathtracing_tpu.ops.pallas_traversal import ray_query_pallas
+    from pathtracing_tpu.render import render_pixels
+    from pathtracing_tpu.utils.goldenio import load_golden
+    from pathtracing_tpu.utils.vec import Vec3
+    from golden_scene import scene_device_from_golden
+
+    sg = load_golden(str(REPO / "tests/golden/scene.gold"))
+    rg = load_golden(str(REPO / "tests/golden/rays.gold"))
+    scene = scene_device_from_golden(sg)
+
+    def timeit(fn, *args, n=3):
+        jax.block_until_ready(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n
+
+    # traversal throughput (XLA, with compaction)
+    R0 = len(rg["origins"])
+    for R in (65536, 262144):
+        reps = (R + R0 - 1) // R0
+        origins = np.tile(rg["origins"], (reps, 1))[:R]
+        dirs = np.tile(rg["dirs"], (reps, 1))[:R]
+        tlc = jnp.full(R, int(sg["tlas"][0]), jnp.int32)
+        tlo = jnp.full(R, int(sg["tlas"][1]), jnp.int32)
+        org = Vec3(*(jnp.asarray(origins[:, i]) for i in range(3)))
+        d = Vec3(*(jnp.asarray(dirs[:, i]) for i in range(3)))
+        act = jnp.ones(R, bool)
+        fn = jax.jit(lambda o, dd: ray_query(scene, tlc, tlo, o, dd, 0.0, 1e9, act)[0].thit)
+        dt = timeit(fn, org, d)
+        print(f"XLA traversal R={R}: {dt*1e3:.1f} ms = {R/dt/1e6:.2f} Mrays/s")
+
+        if R == 65536:
+            try:
+                fnp = jax.jit(
+                    lambda o, dd: ray_query_pallas(
+                        scene, tlc, tlo, o, dd, 0.0, 1e9, act, interpret=False
+                    )[0].thit
+                )
+                dt = timeit(fnp, org, d)
+                print(f"PALLAS traversal R={R}: {dt*1e3:.1f} ms = {R/dt/1e6:.2f} Mrays/s")
+            except Exception as e:
+                print(f"PALLAS lowering failed: {type(e).__name__}: {str(e)[:300]}")
+
+    # end-to-end golden frame
+    W, H = TESTING.image_width, TESTING.image_height
+    idx = np.arange(W * H, dtype=np.int32)
+    t0 = time.perf_counter()
+    colors = render_pixels(TESTING, scene, idx % W, idx // W, spp=8)
+    dt = time.perf_counter() - t0
+    print(f"golden frame 640x360@8spp: {dt:.1f}s = {W*H*8/dt/1e6:.2f} Msamples/s (incl compile)")
+    t0 = time.perf_counter()
+    colors = render_pixels(TESTING, scene, idx % W, idx // W, spp=8)
+    dt = time.perf_counter() - t0
+    print(f"golden frame steady: {dt:.1f}s = {W*H*8/dt/1e6:.2f} Msamples/s")
+
+    ref = load_golden(str(REPO / "tests/golden/render8.gold"))["colors"]
+    rel = np.abs(colors.reshape(H, W, 3) - ref) / (np.abs(ref) + 1e-3)
+    print(f"vs oracle: q98 rel={np.quantile(rel, 0.98):.2e}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
