@@ -117,7 +117,6 @@ class _TravState(NamedTuple):
     in_blas: Array
     b_node: Array
     b_count: Array
-    b_offset: Array
     b_link_offset: Array
     b_org_x: Array
     b_org_y: Array
@@ -277,7 +276,6 @@ def init_state(R, active, tmax0) -> _TravState:
         in_blas=jnp.zeros(R, bool),
         b_node=i32(0),
         b_count=i32(0),
-        b_offset=i32(0),
         b_link_offset=i32(0),
         b_org_x=f32(0), b_org_y=f32(0), b_org_z=f32(0),
         b_inv_x=f32(0), b_inv_y=f32(0), b_inv_z=f32(0),
@@ -325,7 +323,6 @@ def _run_loop(scene, state, consts, tmin, anyhit, max_steps):
     def body(carry):
         s, step = carry
         count = jnp.where(s.in_blas, s.b_count, tlas_count)
-        offset = jnp.where(s.in_blas, s.b_offset, tlas_offset)
         node_idx = jnp.where(s.in_blas, s.b_node, s.t_node)
         link_off = jnp.where(s.in_blas, s.b_link_offset, t_link_offset)
 
@@ -383,7 +380,6 @@ def _run_loop(scene, state, consts, tmin, anyhit, max_steps):
             return jnp.where(mask, new, old)
 
         b_count = upd(s.b_count, ui[:, 0])
-        b_offset = upd(s.b_offset, ui[:, 1])
         m_tri_offset = upd(s.m_tri_offset, ui[:, 4])
         b_link_offset = upd(s.b_link_offset, blink)
         b_org = where3(enter, bo, Vec3(s.b_org_x, s.b_org_y, s.b_org_z))
@@ -428,7 +424,6 @@ def _run_loop(scene, state, consts, tmin, anyhit, max_steps):
             in_blas=in_blas,
             b_node=b_node,
             b_count=b_count,
-            b_offset=b_offset,
             b_link_offset=b_link_offset,
             b_org_x=b_org.x, b_org_y=b_org.y, b_org_z=b_org.z,
             b_inv_x=b_inv.x, b_inv_y=b_inv.y, b_inv_z=b_inv.z,
