@@ -307,7 +307,6 @@ def make_consts(tlas_count, tlas_offset, org, d) -> "_TravConsts":
 
 def _run_loop(scene, state, consts, tmin, anyhit, max_steps):
     tlas_count = consts.tlas_count
-    tlas_offset = consts.tlas_offset
     t_link_offset = consts.t_link_offset
     org = consts.org
     d = consts.d
