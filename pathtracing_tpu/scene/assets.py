@@ -21,18 +21,37 @@ f32 = np.float32
 
 
 def _height(x: np.ndarray, z: np.ndarray) -> np.ndarray:
-    """Deterministic rolling terrain, roughly -12..+34 world units high
-    (the reference's gradients span -10..28, reference: scene.cc:141-152)."""
-    h = (
-        14.0 * np.sin(x * 0.021 + 1.7) * np.cos(z * 0.017 - 0.6)
-        + 9.0 * np.sin(x * 0.043 - 0.9) * np.sin(z * 0.051 + 2.2)
-        + 5.0 * np.cos(x * 0.09 + z * 0.07)
-        + 2.0 * np.sin(x * 0.21) * np.cos(z * 0.19 + 0.4)
-        + 6.0
+    """Deterministic terrain shaped to the animation's implied landmarks
+    (the hard-coded camera/creature track, reference: scene.cc:319-627):
+    a ~30-unit mountain under the buddha statue (-39, 30, 40), a ~13-unit
+    plateau under the teapot start (40, 14, 14), mid hills on the armadillo
+    path (~35, 10, 52), low coast for the dragon walk (x < -70) and the
+    bunny beach (~43, 5, -84). Gradients span -10..28
+    (reference: scene.cc:141-152)."""
+
+    def bump(cx, cz, r, a):
+        return a * np.exp(-(((x - cx) ** 2 + (z - cz) ** 2) / (r * r)))
+
+    base = (
+        2.5 * np.sin(x * 0.045 + 1.7) * np.cos(z * 0.039 - 0.6)
+        + 1.5 * np.sin(x * 0.11 - 0.9) * np.sin(z * 0.13 + 2.2)
+        + 1.0 * np.cos(x * 0.23 + z * 0.19)
+        + 2.0
     )
-    # flatten a lake basin around the origin-west region
-    basin = np.exp(-(((x + 45.0) / 55.0) ** 2 + ((z - 30.0) / 65.0) ** 2))
-    return (h - 18.0 * basin).astype(f32)
+    h = (
+        base
+        + bump(-39, 40, 30, 26.5)   # buddha mountain
+        + bump(46, 16, 20, 11.0)    # teapot plateau
+        + bump(32, 56, 16, 6.0)     # armadillo hills
+        + bump(-20, -35, 50, 7.0)   # central highland
+        + bump(70, 85, 40, 12.0)    # far corner ridge
+        + bump(-60, -90, 45, 10.0)
+        + bump(43, -84, 30, 2.0)    # bunny beach shelf
+        + bump(-78, 48, 22, 5.0)    # dragon walk shelf
+        - bump(-95, 80, 28, 9.0)    # dragon coast water
+        - bump(95, -25, 40, 8.0)    # eastern bay
+    )
+    return h.astype(f32)
 
 
 WATER_LEVEL = -1.5
