@@ -19,3 +19,41 @@ Layering (mirrors SURVEY.md §1, redesigned TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+__all__ = [
+    "RenderConfig",
+    "TESTING",
+    "PRODUCTION",
+    "SceneBuilder",
+    "render_frame",
+    "render_pixels",
+    "load_scene",
+    "setup_animation_frame",
+    "write_bmp",
+]
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import pathtracing_tpu` jax-free)."""
+    if name in ("RenderConfig", "TESTING", "PRODUCTION"):
+        from pathtracing_tpu import config
+
+        return getattr(config, name)
+    if name == "SceneBuilder":
+        from pathtracing_tpu.scene.builder import SceneBuilder
+
+        return SceneBuilder
+    if name in ("render_frame", "render_pixels"):
+        from pathtracing_tpu import render
+
+        return getattr(render, name)
+    if name in ("load_scene", "setup_animation_frame"):
+        from pathtracing_tpu.scene import loader
+
+        return getattr(loader, name)
+    if name == "write_bmp":
+        from pathtracing_tpu.io.bmp import write_bmp
+
+        return write_bmp
+    raise AttributeError(name)
