@@ -53,6 +53,11 @@ def main(argv=None):
         default=None,
         help="capture a jax.profiler device trace of the first frame",
     )
+    ap.add_argument(
+        "--shard",
+        action="store_true",
+        help="shard each frame over all local devices (tiles axis)",
+    )
     args = ap.parse_args(argv)
 
     if args.merge:
@@ -137,6 +142,23 @@ def main(argv=None):
                     args.out, f"frame_{frame_index:04d}.part_{a}_{b}.npz"
                 )
                 np.savez_compressed(part, sums=sums, sample_range=(a, b))
+            elif args.shard:
+                import jax
+                import jax.numpy as jnp
+
+                from pathtracing_tpu.ops.tonemap import tonemap
+                from pathtracing_tpu.parallel.multihost import local_device_mesh
+                from pathtracing_tpu.parallel.sharding import render_frame_sharded
+                from pathtracing_tpu.utils.vec import Vec3
+
+                colors = render_frame_sharded(config, dev, local_device_mesh())
+                bb, gg, rr, aa = jax.jit(tonemap)(
+                    Vec3(*(jnp.asarray(colors[..., i]) for i in range(3)))
+                )
+                image = np.stack(
+                    [np.asarray(bb), np.asarray(gg), np.asarray(rr), np.asarray(aa)],
+                    -1,
+                )
             else:
                 colors, image = render_frame(
                     config, dev, tile_pixels=args.tile_pixels
