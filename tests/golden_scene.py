@@ -166,3 +166,39 @@ def build_golden_scene_host(data_dir, ground_obj, config=TESTING) -> Scene:
     s.subframes = [Subframe(tlas, cam, light) for _ in range(config.subframe_count)]
     s.static_instance_count = len(s.instances)
     return s
+
+
+def scene_device_from_motion_golden(g) -> SceneDevice:
+    """Build a SceneDevice from the harness 'motion' dump (distinct
+    subframes: moving teapot + moving sun; prefix mb_)."""
+    from pathtracing_tpu.scene.device import (
+        _instance_rows,
+        pack_nl8,
+        pack_tri_tables,
+        pack_vattr,
+    )
+    import jax.numpy as jnp
+
+    instances = [
+        _GoldenInstance(g["mb_instances_u"][i], g["mb_instances_f"][i])
+        for i in range(len(g["mb_instances_u"]))
+    ]
+    inst_f, inst_u = _instance_rows(instances)
+    segments = [(i.blas.node_offset, i.blas.node_count) for i in instances]
+    segments += [(int(o), int(c)) for c, o in g["mb_sf_tlas"]]
+    tri_pos, tri_idx = pack_tri_tables(
+        g["mb_indices"], g["mb_pos"], [i.mesh for i in instances]
+    )
+    dev = jnp.asarray
+    return SceneDevice(
+        nl8=dev(pack_nl8(g["mb_nodes"], g["mb_links"], segments)),
+        tri_pos=dev(tri_pos),
+        tri_idx=dev(tri_idx),
+        inst_f=dev(inst_f),
+        inst_u=dev(inst_u),
+        vattr=dev(pack_vattr(g["mb_normal"], g["mb_albedo"], g["mb_material"])),
+        sf_tlas_count=dev(g["mb_sf_tlas"][:, 0].astype(np.int32)),
+        sf_tlas_offset=dev(g["mb_sf_tlas"][:, 1].astype(np.int32)),
+        sf_cam=dev(g["mb_sf_cam"]),
+        sf_light=dev(g["mb_sf_light"]),
+    )

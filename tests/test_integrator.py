@@ -115,3 +115,27 @@ def test_negative_sample_index_uses_subframe0(scene):
         jnp.asarray([-1], jnp.int32),
     )
     assert np.isfinite(np.asarray(neg.x)).all()
+
+
+def test_motion_blur_subframes_match_oracle():
+    """Distinct subframes (moving teapot, moving sun): per-sample radiance
+    across sample_index 0..31 gathers the right subframe per ray
+    (reference: path_tracer.hh:655-657, scene.cc:648-717)."""
+    from golden_scene import scene_device_from_motion_golden
+
+    from conftest import require_golden
+
+    g = load_golden(str(require_golden("motion.gold")))
+    mscene = scene_device_from_motion_golden(g)
+    keys = g["keys"]
+    fn = jax.jit(functools.partial(path_trace_samples, TESTING, mscene))
+    out = fn(
+        jnp.asarray(keys[:, 0].astype(np.int32)),
+        jnp.asarray(keys[:, 1].astype(np.int32)),
+        jnp.asarray(keys[:, 2].astype(np.int32)),
+    )
+    got = np.stack([np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)], -1)
+    ref = g["radiance"]
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.quantile(rel, 0.995) < 5e-4, np.quantile(rel, 0.995)
+    assert np.median(rel) < 1e-5

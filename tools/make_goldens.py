@@ -95,6 +95,7 @@ def main():
 
     run([harness, "rng", os.path.join(GOLD, "rng.gold")])
     run([harness, "bsdf", os.path.join(GOLD, "bsdf.gold")])
+    run([harness, "motion", data, ground, os.path.join(GOLD, "motion.gold")])
     run([harness, "mesh", os.path.join(data, "teapot.obj"), os.path.join(GOLD, "mesh_teapot.gold")])
     run([harness, "mesh", os.path.join(data, "rock2.obj"), os.path.join(GOLD, "mesh_rock2.gold")])
     run([harness, "blas", os.path.join(data, "rock0.obj"), os.path.join(GOLD, "blas_rock0.gold")])

@@ -222,13 +222,10 @@ static golden_scene build_golden_scene(const char* data_dir, const char* ground_
     return gs;
 }
 
-static void dump_scene(golden_scene& gs, const char* out_path)
+static void dump_scene_arrays(golden_scene& gs, const std::string& p)
 {
-    open_out(out_path);
-    dump_mesh_buffers(gs.mb, "");
-    dump_bvh_buffers(gs.bc, "");
-    uint32_t tl[2] = { gs.tlas.node_count, gs.tlas.node_offset };
-    write_array("tlas", 'u', 4, {2}, tl);
+    dump_mesh_buffers(gs.mb, p.c_str());
+    dump_bvh_buffers(gs.bc, p.c_str());
     // Per instance: 6 u32 (blas nc/no, mesh vc/tc/io/bvo) + 32 f32 (transform,
     // inv_transform, row-major).
     std::vector<uint32_t> inst_u(gs.instances.size()*6);
@@ -245,8 +242,44 @@ static void dump_scene(golden_scene& gs, const char* out_path)
         memcpy(&inst_f[i*32], &t.transform, 16*4);
         memcpy(&inst_f[i*32+16], &t.inv_transform, 16*4);
     }
-    write_array("instances_u", 'u', 4, { gs.instances.size(), 6 }, inst_u.data());
-    write_array("instances_f", 'f', 4, { gs.instances.size(), 32 }, inst_f.data());
+    write_array((p+"instances_u").c_str(), 'u', 4, { gs.instances.size(), 6 }, inst_u.data());
+    write_array((p+"instances_f").c_str(), 'f', 4, { gs.instances.size(), 32 }, inst_f.data());
+
+    // per-subframe rows: tlas handle + camera + light
+    std::vector<uint32_t> sf_tlas;
+    std::vector<float> sf_cam, sf_light;
+    for(const subframe& sfr : gs.subframes)
+    {
+        sf_tlas.push_back(sfr.tlas.node_count);
+        sf_tlas.push_back(sfr.tlas.node_offset);
+        const camera& cc = sfr.cam;
+        const float cf[18] = {
+            cc.orientation.r[0].x, cc.orientation.r[0].y, cc.orientation.r[0].z,
+            cc.orientation.r[1].x, cc.orientation.r[1].y, cc.orientation.r[1].z,
+            cc.orientation.r[2].x, cc.orientation.r[2].y, cc.orientation.r[2].z,
+            cc.position.x, cc.position.y, cc.position.z,
+            cc.aspect_ratio, cc.inv_focal_length, cc.focal_distance,
+            cc.aperture_angle, (float)cc.aperture_polygon, cc.aperture_radius
+        };
+        sf_cam.insert(sf_cam.end(), cf, cf+18);
+        const directional_light& ll = sfr.light;
+        const float lf[7] = {
+            ll.direction.x, ll.direction.y, ll.direction.z,
+            ll.color.x, ll.color.y, ll.color.z, ll.cos_solid_angle
+        };
+        sf_light.insert(sf_light.end(), lf, lf+7);
+    }
+    write_array((p+"sf_tlas").c_str(), 'u', 4, { gs.subframes.size(), 2 }, sf_tlas.data());
+    write_array((p+"sf_cam").c_str(), 'f', 4, { gs.subframes.size(), 18 }, sf_cam.data());
+    write_array((p+"sf_light").c_str(), 'f', 4, { gs.subframes.size(), 7 }, sf_light.data());
+}
+
+static void dump_scene(golden_scene& gs, const char* out_path)
+{
+    open_out(out_path);
+    dump_scene_arrays(gs, "");
+    uint32_t tl[2] = { gs.tlas.node_count, gs.tlas.node_offset };
+    write_array("tlas", 'u', 4, {2}, tl);
     const camera& c = gs.subframes[0].cam;
     float cam_f[18] = {
         c.orientation.r[0].x, c.orientation.r[0].y, c.orientation.r[0].z,
@@ -305,6 +338,89 @@ static void cmd_trace(
     }
     write_array("tonemap_in", 'f', 4, { tin.size()/3, 3 }, tin.data());
     write_array("tonemap_out", 'u', 1, { tout.size()/4, 4 }, tout.data());
+    fclose(g_out);
+}
+
+// -------------------------------------------------------------- motion ----
+// Motion-blur golden: rebuild the golden scene with DISTINCT subframes
+// (teapot translating, sun moving) like setup_animation_frame does
+// (reference: scene.cc:648-717), then trace samples spanning subframes.
+static void cmd_motion(const char* data_dir, const char* ground_obj, const char* out_path)
+{
+    golden_scene gs = build_golden_scene(data_dir, ground_obj);
+    // drop the prebuilt single TLAS and rebuild per-subframe with a moving
+    // teapot (instance 1)
+    pop_bvh(gs.bc, gs.tlas);
+    gs.subframes.clear();
+
+    const int n_subframes = 4;
+    camera cam = {};
+    cam.position = float3{7.0f, 4.5f, 11.0f};
+    cam.aspect_ratio = IMAGE_WIDTH/float(IMAGE_HEIGHT);
+    cam.orientation = extract_m4m3(rotation_euler(float3{16.0f, 327.5f, 0.0f} * (float)M_PI / 180.0f));
+    cam.inv_focal_length = tan(60.0f * (float)M_PI / 360.0f);
+    cam.focal_distance = 2.0f;
+    cam.aperture_angle = (float)M_PI/16.0f;
+    cam.aperture_polygon = 6;
+    cam.aperture_radius = 0.0f;
+
+    // teapot instances per subframe appended after the static ones
+    uint static_count = gs.instances.size();
+    for(int i = 0; i < n_subframes; ++i)
+    {
+        mesh m = gs.instances[1].m;
+        bvh b = gs.instances[1].blas;
+        mat4 t = rotation_euler(float3{0, 30.0f + 20.0f*i, 0} * (float)M_PI / 180.0f);
+        t = mul_m4m4(translation(float3{0.5f*i, 0, 0.3f*i}), t);
+        gs.instances.push_back(tlas_instance{b, m, t, inverse4(t)});
+    }
+
+    std::vector<bvh_buffers> local(n_subframes);
+    for(int i = 0; i < n_subframes; ++i)
+    {
+        std::vector<std::pair<const tlas_instance*, uint>> ti;
+        for(uint k = 0; k < static_count; ++k)
+            if(k != 1)  // static set minus the original teapot
+                ti.push_back({&gs.instances[k], k});
+        ti.push_back({&gs.instances[static_count + i], (uint)(static_count + i)});
+        subframe sf;
+        sf.tlas = build_tlas(ti.size(), ti.data(), gs.bc, local[i]);
+        sf.cam = cam;
+        float st = 0.1f + 0.2f * i;
+        sf.light.direction = normalize(float3{0, sinf(st), cosf(st)});
+        sf.light.color = float3{4,4,4};
+        sf.light.cos_solid_angle = cos(4.0f * (float)M_PI / 180.0f);
+        gs.subframes.push_back(sf);
+    }
+    for(int i = 0; i < n_subframes; ++i)
+    {
+        gs.subframes[i].tlas.node_offset = gs.bc.nodes.size();
+        gs.bc.nodes.insert(gs.bc.nodes.end(), local[i].nodes.begin(), local[i].nodes.end());
+        gs.bc.links.insert(gs.bc.links.end(), local[i].links.begin(), local[i].links.end());
+    }
+
+    open_out(out_path);
+    dump_scene_arrays(gs, "mb_");
+    // trace 32 samples (4 subframes x 8) at object pixels
+    std::vector<uint32_t> keys;
+    std::vector<float> radiance;
+    for(uint y = 120; y < IMAGE_HEIGHT; y += 60)
+    for(uint x = 200; x < 560; x += 60)
+    for(int s = 0; s < 32; ++s)
+    {
+        float3 c = path_trace_pixel(
+            uint2{x, y}, s,
+            gs.subframes.data(), gs.instances.data(),
+            gs.bc.nodes.data(), gs.bc.links.data(),
+            gs.mb.indices.data(), gs.mb.pos.data(), gs.mb.normal.data(),
+            gs.mb.albedo.data(), gs.mb.material.data()
+        );
+        keys.push_back(x); keys.push_back(y); keys.push_back((uint32_t)s);
+        radiance.push_back(c.x); radiance.push_back(c.y); radiance.push_back(c.z);
+    }
+    uint64_t n = keys.size()/3;
+    write_array("keys", 'u', 4, { n, 3 }, keys.data());
+    write_array("radiance", 'f', 4, { n, 3 }, radiance.data());
     fclose(g_out);
 }
 
@@ -581,6 +697,8 @@ int main(int argc, char** argv)
         golden_scene gs = build_golden_scene(argv[2], argv[3]);
         cmd_debug(gs, atoi(argv[4]), atoi(argv[5]), atoi(argv[6]));
     }
+    else if(cmd == "motion")
+        cmd_motion(argv[2], argv[3], argv[4]);
     else if(cmd == "rays")
     {
         golden_scene gs = build_golden_scene(argv[2], argv[3]);
