@@ -139,3 +139,28 @@ def test_motion_blur_subframes_match_oracle():
     rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
     assert np.quantile(rel, 0.995) < 5e-4, np.quantile(rel, 0.995)
     assert np.median(rel) < 1e-5
+
+
+def test_bokeh_aperture_matches_oracle(scene):
+    """Thin-lens aperture path: sample_regular_polygon + focal plane
+    (reference: path_tracer.hh:50-62, 434-450)."""
+    tg = load_golden(str(require_golden("trace.gold")))
+    if "bokeh_keys" not in tg:
+        pytest.skip("bokeh goldens not generated")
+    cam = np.asarray(scene.sf_cam).copy()
+    cam[:, 17] = 0.3          # aperture_radius
+    cam[:, 14] = 10.0         # focal_distance
+    cam[:, 15] = np.float32(np.pi / 7)  # aperture_angle
+    bscene = scene._replace(sf_cam=jnp.asarray(cam))
+    keys = tg["bokeh_keys"]
+    fn = jax.jit(functools.partial(path_trace_samples, TESTING, bscene))
+    out = fn(
+        jnp.asarray(keys[:, 0].astype(np.int32)),
+        jnp.asarray(keys[:, 1].astype(np.int32)),
+        jnp.asarray(keys[:, 2].astype(np.int32)),
+    )
+    got = np.stack([np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)], -1)
+    ref = tg["bokeh_radiance"]
+    rel = np.abs(got - ref) / (np.abs(ref) + 1e-3)
+    assert np.quantile(rel, 0.995) < 5e-4, np.quantile(rel, 0.995)
+    assert np.median(rel) < 1e-5

@@ -325,6 +325,33 @@ static void cmd_trace(
     write_array("keys", 'u', 4, { n, 3 }, keys.data());
     write_array("radiance", 'f', 4, { n, 3 }, radiance.data());
 
+    // Bokeh variant: thin-lens aperture on (tests sample_regular_polygon
+    // and the focal-distance ray setup, reference: path_tracer.hh:434-450).
+    for(subframe& sf : gs.subframes)
+    {
+        sf.cam.aperture_radius = 0.3f;
+        sf.cam.focal_distance = 10.0f;
+        sf.cam.aperture_angle = (float)M_PI/7.0f;
+    }
+    std::vector<uint32_t> bkeys;
+    std::vector<float> bradiance;
+    for(uint y = 0; y < IMAGE_HEIGHT; y += py_stride)
+    for(uint x = 0; x < IMAGE_WIDTH; x += px_stride)
+    for(int s2 = 0; s2 < n_samples; ++s2)
+    {
+        float3 c = path_trace_pixel(
+            uint2{x, y}, s2,
+            gs.subframes.data(), gs.instances.data(),
+            gs.bc.nodes.data(), gs.bc.links.data(),
+            gs.mb.indices.data(), gs.mb.pos.data(), gs.mb.normal.data(),
+            gs.mb.albedo.data(), gs.mb.material.data()
+        );
+        bkeys.push_back(x); bkeys.push_back(y); bkeys.push_back((uint32_t)s2);
+        bradiance.push_back(c.x); bradiance.push_back(c.y); bradiance.push_back(c.z);
+    }
+    write_array("bokeh_keys", 'u', 4, { bkeys.size()/3, 3 }, bkeys.data());
+    write_array("bokeh_radiance", 'f', 4, { bkeys.size()/3, 3 }, bradiance.data());
+
     // Tonemap goldens over a sweep of radiance values.
     std::vector<float> tin;
     std::vector<uint8_t> tout;
