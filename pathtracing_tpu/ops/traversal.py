@@ -113,6 +113,8 @@ def _tri_intersect(origin: Vec3, axis, S: Vec3, p0: Vec3, p1: Vec3, p2: Vec3):
 class _TravState(NamedTuple):
     # TLAS context (origin/dir/inv are loop-invariant, kept outside)
     t_node: Array
+    # deferred triangle test (two-speed loop); -1 = empty slot
+    p_prim: Array
     # BLAS context
     in_blas: Array
     b_node: Array
@@ -182,6 +184,7 @@ def ray_query(
     return_state: bool = False,
     compact_after: int | None = 32,
     compact_div: int = 4,
+    leaf_every: int | None = -1,
 ):
     """Trace a batch of rays to completion.
 
@@ -196,7 +199,21 @@ def ray_query(
     unfinished rays are argsort-compacted into a 1/compact_div prefix and
     finish there at 1/compact_div the per-step cost; a final full-batch
     pass mops up any stragglers that did not fit (usually zero steps).
+
+    Two-speed loop: with ``leaf_every=K``, only every K-th iteration runs the
+    expensive leaf work (TLAS->BLAS entry, triangle test); the K-1 cheap
+    iterations do just the slab test + link follow (~40% of the ops), parking
+    one triangle candidate per lane in a pending slot and freezing lanes that
+    reach a second leaf.  Results are bit-identical to the one-speed loop:
+    deferral only delays tmax shrinking (conservative culling — extra
+    candidates are rejected by the strict ``t < tmax`` confirm), and per-lane
+    candidate order is unchanged.  ``leaf_every=-1`` (default) means "use
+    ``DEFAULT_LEAF_EVERY``"; ``None``/1 disables.
     """
+    if leaf_every == -1:
+        leaf_every = DEFAULT_LEAF_EVERY
+    if leaf_every is not None and leaf_every <= 1:
+        leaf_every = None
     # Traversal is discrete: gradients flow through the *recomputed* hit
     # (integrator.trace_ray re-derives u/v/t differentiably from the hit
     # ids), never through the search itself.
@@ -227,7 +244,8 @@ def ray_query(
     )
 
     def run(state, consts, steps):
-        return _run_loop(scene, state, consts, tmin, anyhit, steps)
+        return _run_loop(scene, state, consts, tmin, anyhit, steps,
+                         leaf_every=leaf_every)
 
     if (
         compact_after is not None
@@ -241,7 +259,8 @@ def ray_query(
         take = perm[:P]
         state_p = jax.tree.map(lambda a: a[take], final)
         consts_p = jax.tree.map(lambda a: a[take], consts)
-        state_p = _run_loop(scene, state_p, consts_p, tmin, anyhit, None)
+        state_p = _run_loop(scene, state_p, consts_p, tmin, anyhit, None,
+                            leaf_every=leaf_every)
         final = jax.tree.map(
             lambda full, part: full.at[take].set(part), final, state_p
         )
@@ -273,6 +292,7 @@ def init_state(R, active, tmax0) -> _TravState:
     f32 = lambda v: jnp.full(R, v, jnp.float32)
     return _TravState(
         t_node=i32(0),
+        p_prim=i32(-1),
         in_blas=jnp.zeros(R, bool),
         b_node=i32(0),
         b_count=i32(0),
@@ -305,13 +325,12 @@ def make_consts(tlas_count, tlas_offset, org, d) -> "_TravConsts":
         t_inv=t_inv,
     )
 
-def _run_loop(scene, state, consts, tmin, anyhit, max_steps):
-    tlas_count = consts.tlas_count
-    t_link_offset = consts.t_link_offset
-    org = consts.org
-    d = consts.d
-    t_inv = consts.t_inv
+# Default two-speed period for ray_query(leaf_every=-1); module-level so perf
+# tooling can flip it globally (re-jit picks it up).  None = one-speed loop.
+DEFAULT_LEAF_EVERY: int | None = None
 
+
+def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None):
     def cond(carry):
         s, step = carry
         alive = jnp.any(jnp.logical_not(s.done))
@@ -321,126 +340,243 @@ def _run_loop(scene, state, consts, tmin, anyhit, max_steps):
 
     def body(carry):
         s, step = carry
-        count = jnp.where(s.in_blas, s.b_count, tlas_count)
-        node_idx = jnp.where(s.in_blas, s.b_node, s.t_node)
-        link_off = jnp.where(s.in_blas, s.b_link_offset, t_link_offset)
-
-        in_range = (node_idx >= 0) & (node_idx < count)
-        valid = in_range & jnp.logical_not(s.done)
-        exhausted = jnp.logical_not(in_range) & jnp.logical_not(s.done)
-        # TLAS exhausted => done; BLAS exhausted => pop to TLAS
-        # (reference: ray_query.hh:271-275).
-        done = s.done | (exhausted & jnp.logical_not(s.in_blas))
-        in_blas = s.in_blas & jnp.logical_not(exhausted)
-        valid = valid & jnp.logical_not(exhausted)
-
-        lidx = jnp.where(valid, link_off + node_idx, 0)
-        row = scene.nl8[lidx]  # (R, 8): AABB + accept/cancel bit patterns
-        nmin = Vec3(row[:, 0], row[:, 1], row[:, 2])
-        nmax = Vec3(row[:, 3], row[:, 4], row[:, 5])
-        accept = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-        cancel = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
-
-        o = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), org)
-        inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), t_inv)
-
-        hit = _slab_hit(nmin, nmax, o, inv, tmin, s.tmax)
-        is_leaf = accept < 0  # top bit set (reference: bvh.hh:57-63)
-        payload = accept & _LEAF_MASK
-        next_idx = jnp.where(hit & jnp.logical_not(is_leaf), accept, cancel)
-
-        t_node = jnp.where(valid & jnp.logical_not(in_blas), next_idx, s.t_node)
-        b_node = jnp.where(valid & in_blas, next_idx, s.b_node)
-
-        leaf_hit = valid & hit & is_leaf
-        enter = leaf_hit & jnp.logical_not(in_blas)
-        test = leaf_hit & in_blas
-
-        # ---- enter BLAS (reference: ray_query.hh:153-182) ----
-        iidx = jnp.where(enter, payload, 0)
-        fi = scene.inst_f[iidx]  # (R, 21): inv cols (12) + rot (9)
-        ui = scene.inst_u[iidx]  # (R, 6)
-        bo = Vec3(
-            fi[:, 0] * org.x + fi[:, 3] * org.y + fi[:, 6] * org.z + fi[:, 9],
-            fi[:, 1] * org.x + fi[:, 4] * org.y + fi[:, 7] * org.z + fi[:, 10],
-            fi[:, 2] * org.x + fi[:, 5] * org.y + fi[:, 8] * org.z + fi[:, 11],
-        )
-        bd = Vec3(
-            fi[:, 0] * d.x + fi[:, 3] * d.y + fi[:, 6] * d.z,
-            fi[:, 1] * d.x + fi[:, 4] * d.y + fi[:, 7] * d.z,
-            fi[:, 2] * d.x + fi[:, 5] * d.y + fi[:, 8] * d.z,
-        )
-        binv = _safe_inv(bd)
-        boct = _octant(bd)
-        baxis, bS = _tri_preprocess(bd)
-        blink = ui[:, 1] * 8 + boct * ui[:, 0]
-
-        def upd(old, new, mask=enter):
-            return jnp.where(mask, new, old)
-
-        b_count = upd(s.b_count, ui[:, 0])
-        m_tri_offset = upd(s.m_tri_offset, ui[:, 4])
-        b_link_offset = upd(s.b_link_offset, blink)
-        b_org = where3(enter, bo, Vec3(s.b_org_x, s.b_org_y, s.b_org_z))
-        b_inv = where3(enter, binv, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z))
-        b_S = where3(enter, bS, Vec3(s.b_S_x, s.b_S_y, s.b_S_z))
-        b_axis = upd(s.b_axis, baxis)
-        b_node = jnp.where(enter, 0, b_node)
-        cand_inst = upd(s.cand_inst, payload)
-        in_blas = in_blas | enter
-
-        # ---- triangle test (reference: ray_query.hh:225-246) ----
-        tri_row = jnp.where(test, m_tri_offset + payload, 0)
-        tp = scene.tri_pos[tri_row]  # (R, 12)
-        p0 = Vec3(tp[:, 0], tp[:, 1], tp[:, 2])
-        p1 = Vec3(tp[:, 3], tp[:, 4], tp[:, 5])
-        p2 = Vec3(tp[:, 6], tp[:, 7], tp[:, 8])
-        thit_ok, tu, tv, tt, tback = _tri_intersect(
-            b_org, b_axis, b_S, p0, p1, p2
-        )
-        confirmed = test & thit_ok & (tt < s.tmax) & (tt > tmin)
-
-        if anyhit:
-            occluded = s.occluded | confirmed
-            done = done | confirmed
-            c_thit, c_u, c_v = s.c_thit, s.c_u, s.c_v
-            c_inst, c_prim, c_back = s.c_inst, s.c_prim, s.c_back
-            tmax = s.tmax
+        if leaf_every is None:
+            s = _full_step(scene, s, consts, tmin, anyhit)
         else:
-            # confirm every candidate (reference: path_tracer.hh:346-349,
-            # ray_query.hh:280-290)
-            occluded = s.occluded
-            c_thit = jnp.where(confirmed, tt, s.c_thit)
-            c_u = jnp.where(confirmed, tu, s.c_u)
-            c_v = jnp.where(confirmed, tv, s.c_v)
-            c_inst = jnp.where(confirmed, cand_inst, s.c_inst)
-            c_prim = jnp.where(confirmed, payload, s.c_prim)
-            c_back = jnp.where(confirmed, tback, s.c_back)
-            tmax = jnp.where(confirmed, tt, s.tmax)
-
-        new_state = _TravState(
-            t_node=t_node,
-            in_blas=in_blas,
-            b_node=b_node,
-            b_count=b_count,
-            b_link_offset=b_link_offset,
-            b_org_x=b_org.x, b_org_y=b_org.y, b_org_z=b_org.z,
-            b_inv_x=b_inv.x, b_inv_y=b_inv.y, b_inv_z=b_inv.z,
-            b_S_x=b_S.x, b_S_y=b_S.y, b_S_z=b_S.z,
-            b_axis=b_axis,
-            m_tri_offset=m_tri_offset,
-            cand_inst=cand_inst,
-            done=done,
-            tmax=tmax,
-            occluded=occluded,
-            c_thit=c_thit,
-            c_u=c_u,
-            c_v=c_v,
-            c_inst=c_inst,
-            c_prim=c_prim,
-            c_back=c_back,
-        )
-        return new_state, step + 1
+            is_full = (step % leaf_every) == (leaf_every - 1)
+            s = jax.lax.cond(
+                is_full,
+                lambda st: _full_step(
+                    scene, _flush_pending(scene, st, tmin, anyhit),
+                    consts, tmin, anyhit,
+                ),
+                lambda st: _cheap_step(scene, st, consts, tmin),
+                s,
+            )
+        return s, step + 1
 
     final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    if leaf_every is not None:
+        # a lane whose TLAS exhausted (or that hit max_steps) may still hold
+        # an untested candidate
+        final = _flush_pending(scene, final, tmin, anyhit)
     return final
+
+
+def _cheap_step(scene, s, consts, tmin):
+    """Slab test + link follow only (two-speed fast path).
+
+    Leaf work is deferred: a triangle candidate parks in the lane's pending
+    slot (advancing past the leaf via the cancel link, exactly the node the
+    one-speed loop would continue at); a TLAS leaf — or a second triangle
+    candidate while one is pending — freezes the lane at that node until the
+    next full step re-tests it.
+    """
+    tlas_count = consts.tlas_count
+    count = jnp.where(s.in_blas, s.b_count, tlas_count)
+    node_idx = jnp.where(s.in_blas, s.b_node, s.t_node)
+    link_off = jnp.where(s.in_blas, s.b_link_offset, consts.t_link_offset)
+
+    in_range = (node_idx >= 0) & (node_idx < count)
+    valid = in_range & jnp.logical_not(s.done)
+    exhausted = jnp.logical_not(in_range) & jnp.logical_not(s.done)
+    done = s.done | (exhausted & jnp.logical_not(s.in_blas))
+    in_blas = s.in_blas & jnp.logical_not(exhausted)
+    valid = valid & jnp.logical_not(exhausted)
+
+    lidx = jnp.where(valid, link_off + node_idx, 0)
+    row = scene.nl8[lidx]  # (R, 8): AABB + accept/cancel bit patterns
+    nmin = Vec3(row[:, 0], row[:, 1], row[:, 2])
+    nmax = Vec3(row[:, 3], row[:, 4], row[:, 5])
+    accept = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+    cancel = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+
+    o = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), consts.org)
+    inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), consts.t_inv)
+
+    hit = _slab_hit(nmin, nmax, o, inv, tmin, s.tmax)
+    is_leaf = accept < 0
+    payload = accept & _LEAF_MASK
+
+    leaf_hit = valid & hit & is_leaf
+    tri_leaf = leaf_hit & in_blas
+    can_defer = tri_leaf & (s.p_prim < 0)
+    freeze = (leaf_hit & jnp.logical_not(in_blas)) | (tri_leaf & (s.p_prim >= 0))
+    advance = valid & jnp.logical_not(freeze)
+
+    next_idx = jnp.where(hit & jnp.logical_not(is_leaf), accept, cancel)
+    t_node = jnp.where(advance & jnp.logical_not(in_blas), next_idx, s.t_node)
+    b_node = jnp.where(advance & in_blas, next_idx, s.b_node)
+    p_prim = jnp.where(can_defer, payload, s.p_prim)
+
+    return s._replace(
+        t_node=t_node, b_node=b_node, p_prim=p_prim, done=done, in_blas=in_blas
+    )
+
+
+def _flush_pending(scene, s, tmin, anyhit):
+    """Run the deferred triangle test of each lane's pending slot.
+
+    By construction the lane's BLAS context (b_org/b_S/b_axis, cand_inst,
+    m_tri_offset) is still the one the candidate was found under — entering a
+    new BLAS freezes until a full step, and full steps flush first.  tmax here
+    already reflects every earlier confirm, so the strict ``t < tmax`` test
+    sees exactly the value the one-speed loop would have used.
+    """
+    pend = s.p_prim >= 0
+    tri_row = jnp.where(pend, s.m_tri_offset + s.p_prim, 0)
+    tp = scene.tri_pos[tri_row]  # (R, 12)
+    p0 = Vec3(tp[:, 0], tp[:, 1], tp[:, 2])
+    p1 = Vec3(tp[:, 3], tp[:, 4], tp[:, 5])
+    p2 = Vec3(tp[:, 6], tp[:, 7], tp[:, 8])
+    b_org = Vec3(s.b_org_x, s.b_org_y, s.b_org_z)
+    b_S = Vec3(s.b_S_x, s.b_S_y, s.b_S_z)
+    ok, tu, tv, tt, tback = _tri_intersect(b_org, s.b_axis, b_S, p0, p1, p2)
+    confirmed = pend & ok & (tt < s.tmax) & (tt > tmin)
+
+    if anyhit:
+        return s._replace(
+            occluded=s.occluded | confirmed,
+            done=s.done | confirmed,
+            p_prim=jnp.where(pend, -1, s.p_prim),
+        )
+    return s._replace(
+        c_thit=jnp.where(confirmed, tt, s.c_thit),
+        c_u=jnp.where(confirmed, tu, s.c_u),
+        c_v=jnp.where(confirmed, tv, s.c_v),
+        c_inst=jnp.where(confirmed, s.cand_inst, s.c_inst),
+        c_prim=jnp.where(confirmed, s.p_prim, s.c_prim),
+        c_back=jnp.where(confirmed, tback, s.c_back),
+        tmax=jnp.where(confirmed, tt, s.tmax),
+        p_prim=jnp.where(pend, -1, s.p_prim),
+    )
+
+
+def _full_step(scene, s, consts, tmin, anyhit):
+    tlas_count = consts.tlas_count
+    t_link_offset = consts.t_link_offset
+    org = consts.org
+    d = consts.d
+    t_inv = consts.t_inv
+
+    count = jnp.where(s.in_blas, s.b_count, tlas_count)
+    node_idx = jnp.where(s.in_blas, s.b_node, s.t_node)
+    link_off = jnp.where(s.in_blas, s.b_link_offset, t_link_offset)
+
+    in_range = (node_idx >= 0) & (node_idx < count)
+    valid = in_range & jnp.logical_not(s.done)
+    exhausted = jnp.logical_not(in_range) & jnp.logical_not(s.done)
+    # TLAS exhausted => done; BLAS exhausted => pop to TLAS
+    # (reference: ray_query.hh:271-275).
+    done = s.done | (exhausted & jnp.logical_not(s.in_blas))
+    in_blas = s.in_blas & jnp.logical_not(exhausted)
+    valid = valid & jnp.logical_not(exhausted)
+
+    lidx = jnp.where(valid, link_off + node_idx, 0)
+    row = scene.nl8[lidx]  # (R, 8): AABB + accept/cancel bit patterns
+    nmin = Vec3(row[:, 0], row[:, 1], row[:, 2])
+    nmax = Vec3(row[:, 3], row[:, 4], row[:, 5])
+    accept = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+    cancel = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+
+    o = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), org)
+    inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), t_inv)
+
+    hit = _slab_hit(nmin, nmax, o, inv, tmin, s.tmax)
+    is_leaf = accept < 0  # top bit set (reference: bvh.hh:57-63)
+    payload = accept & _LEAF_MASK
+    next_idx = jnp.where(hit & jnp.logical_not(is_leaf), accept, cancel)
+
+    t_node = jnp.where(valid & jnp.logical_not(in_blas), next_idx, s.t_node)
+    b_node = jnp.where(valid & in_blas, next_idx, s.b_node)
+
+    leaf_hit = valid & hit & is_leaf
+    enter = leaf_hit & jnp.logical_not(in_blas)
+    test = leaf_hit & in_blas
+
+    # ---- enter BLAS (reference: ray_query.hh:153-182) ----
+    iidx = jnp.where(enter, payload, 0)
+    fi = scene.inst_f[iidx]  # (R, 21): inv cols (12) + rot (9)
+    ui = scene.inst_u[iidx]  # (R, 6)
+    bo = Vec3(
+        fi[:, 0] * org.x + fi[:, 3] * org.y + fi[:, 6] * org.z + fi[:, 9],
+        fi[:, 1] * org.x + fi[:, 4] * org.y + fi[:, 7] * org.z + fi[:, 10],
+        fi[:, 2] * org.x + fi[:, 5] * org.y + fi[:, 8] * org.z + fi[:, 11],
+    )
+    bd = Vec3(
+        fi[:, 0] * d.x + fi[:, 3] * d.y + fi[:, 6] * d.z,
+        fi[:, 1] * d.x + fi[:, 4] * d.y + fi[:, 7] * d.z,
+        fi[:, 2] * d.x + fi[:, 5] * d.y + fi[:, 8] * d.z,
+    )
+    binv = _safe_inv(bd)
+    boct = _octant(bd)
+    baxis, bS = _tri_preprocess(bd)
+    blink = ui[:, 1] * 8 + boct * ui[:, 0]
+
+    def upd(old, new, mask=enter):
+        return jnp.where(mask, new, old)
+
+    b_count = upd(s.b_count, ui[:, 0])
+    m_tri_offset = upd(s.m_tri_offset, ui[:, 4])
+    b_link_offset = upd(s.b_link_offset, blink)
+    b_org = where3(enter, bo, Vec3(s.b_org_x, s.b_org_y, s.b_org_z))
+    b_inv = where3(enter, binv, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z))
+    b_S = where3(enter, bS, Vec3(s.b_S_x, s.b_S_y, s.b_S_z))
+    b_axis = upd(s.b_axis, baxis)
+    b_node = jnp.where(enter, 0, b_node)
+    cand_inst = upd(s.cand_inst, payload)
+    in_blas = in_blas | enter
+
+    # ---- triangle test (reference: ray_query.hh:225-246) ----
+    tri_row = jnp.where(test, m_tri_offset + payload, 0)
+    tp = scene.tri_pos[tri_row]  # (R, 12)
+    p0 = Vec3(tp[:, 0], tp[:, 1], tp[:, 2])
+    p1 = Vec3(tp[:, 3], tp[:, 4], tp[:, 5])
+    p2 = Vec3(tp[:, 6], tp[:, 7], tp[:, 8])
+    thit_ok, tu, tv, tt, tback = _tri_intersect(
+        b_org, b_axis, b_S, p0, p1, p2
+    )
+    confirmed = test & thit_ok & (tt < s.tmax) & (tt > tmin)
+
+    if anyhit:
+        occluded = s.occluded | confirmed
+        done = done | confirmed
+        c_thit, c_u, c_v = s.c_thit, s.c_u, s.c_v
+        c_inst, c_prim, c_back = s.c_inst, s.c_prim, s.c_back
+        tmax = s.tmax
+    else:
+        # confirm every candidate (reference: path_tracer.hh:346-349,
+        # ray_query.hh:280-290)
+        occluded = s.occluded
+        c_thit = jnp.where(confirmed, tt, s.c_thit)
+        c_u = jnp.where(confirmed, tu, s.c_u)
+        c_v = jnp.where(confirmed, tv, s.c_v)
+        c_inst = jnp.where(confirmed, cand_inst, s.c_inst)
+        c_prim = jnp.where(confirmed, payload, s.c_prim)
+        c_back = jnp.where(confirmed, tback, s.c_back)
+        tmax = jnp.where(confirmed, tt, s.tmax)
+
+    new_state = _TravState(
+        t_node=t_node,
+        p_prim=s.p_prim,
+        in_blas=in_blas,
+        b_node=b_node,
+        b_count=b_count,
+        b_link_offset=b_link_offset,
+        b_org_x=b_org.x, b_org_y=b_org.y, b_org_z=b_org.z,
+        b_inv_x=b_inv.x, b_inv_y=b_inv.y, b_inv_z=b_inv.z,
+        b_S_x=b_S.x, b_S_y=b_S.y, b_S_z=b_S.z,
+        b_axis=b_axis,
+        m_tri_offset=m_tri_offset,
+        cand_inst=cand_inst,
+        done=done,
+        tmax=tmax,
+        occluded=occluded,
+        c_thit=c_thit,
+        c_u=c_u,
+        c_v=c_v,
+        c_inst=c_inst,
+        c_prim=c_prim,
+        c_back=c_back,
+    )
+    return new_state

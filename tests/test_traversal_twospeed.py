@@ -1,0 +1,73 @@
+"""Two-speed traversal loop must be bit-identical to the one-speed loop.
+
+ray_query(leaf_every=K) defers leaf work (BLAS entry, triangle tests) to
+every K-th iteration; this is a pure scheduling change — results must match
+the default loop bit-for-bit on the golden scene and on random scenes, in
+closest-hit and any-hit mode, with and without argsort compaction.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pathtracing_tpu.ops.traversal import ray_query
+from pathtracing_tpu.utils.goldenio import load_golden
+from pathtracing_tpu.utils.vec import Vec3
+
+from golden_scene import scene_device_from_golden
+from test_traversal_property import _build_scene
+
+
+def _assert_hits_equal(a, b):
+    ah, aocc = a
+    bh, bocc = b
+    for fa, fb in zip(ah, bh):
+        fa, fb = np.asarray(fa), np.asarray(fb)
+        np.testing.assert_array_equal(fa, fb)
+    np.testing.assert_array_equal(np.asarray(aocc), np.asarray(bocc))
+
+
+@pytest.mark.parametrize("anyhit", [False, True])
+@pytest.mark.parametrize("compact_after", [None, 32])
+def test_twospeed_matches_golden_scene(anyhit, compact_after, golden_dir):
+    sg = load_golden(str(golden_dir / "scene.gold"))
+    rg = load_golden(str(golden_dir / "rays.gold"))
+    scene = scene_device_from_golden(sg)
+    R = len(rg["origins"])
+    tlc = jnp.full(R, int(sg["tlas"][0]), jnp.int32)
+    tlo = jnp.full(R, int(sg["tlas"][1]), jnp.int32)
+    org = Vec3(*(jnp.asarray(rg["origins"][:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(rg["dirs"][:, i]) for i in range(3)))
+    act = jnp.ones(R, bool)
+
+    args = (scene, tlc, tlo, org, d, 0.0, 1e9, act)
+    base = ray_query(*args, anyhit=anyhit, compact_after=compact_after,
+                     leaf_every=None)
+    for K in (2, 4, 8):
+        two = ray_query(*args, anyhit=anyhit, compact_after=compact_after,
+                        leaf_every=K)
+        _assert_hits_equal(base, two)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_twospeed_matches_random_scene(seed):
+    rng = np.random.default_rng(seed)
+    scene, tlas, instances, handles, mesh_arrays = _build_scene(rng)
+    n = 512
+    org = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = d.astype(np.float32)
+
+    tlc = jnp.full(n, tlas.node_count, jnp.int32)
+    tlo = jnp.full(n, tlas.node_offset, jnp.int32)
+    args = (
+        scene, tlc, tlo,
+        Vec3(*(jnp.asarray(org[:, i]) for i in range(3))),
+        Vec3(*(jnp.asarray(d[:, i]) for i in range(3))),
+        0.0, 1e9, jnp.ones(n, bool),
+    )
+    for anyhit in (False, True):
+        base = ray_query(*args, anyhit=anyhit, leaf_every=None)
+        two = ray_query(*args, anyhit=anyhit, leaf_every=4)
+        _assert_hits_equal(base, two)

@@ -89,11 +89,17 @@ def bench_traversal():
         d = Vec3(*(jnp.asarray(dirs[:, i]) for i in range(3)))
         act = jnp.ones(R, bool)
 
-        fn = jax.jit(
-            lambda o, dd: ray_query(scene, tlc, tlo, o, dd, 0.0, 1e9, act)[0].thit
-        )
-        dt = timeit(fn, org, d, n=3)
-        print(f"R={R}: {dt*1e3:.1f} ms => {R/dt/1e6:.2f} Mrays/s")
+        for leaf_every in (None, 2, 4, 8):
+            fn = jax.jit(
+                lambda o, dd, le=leaf_every: ray_query(
+                    scene, tlc, tlo, o, dd, 0.0, 1e9, act, leaf_every=le
+                )[0].thit
+            )
+            dt = timeit(fn, org, d, n=3)
+            print(
+                f"R={R} leaf_every={leaf_every}: {dt*1e3:.1f} ms "
+                f"=> {R/dt/1e6:.2f} Mrays/s"
+            )
 
 
 def bench_iteration_counts():
