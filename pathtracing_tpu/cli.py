@@ -103,17 +103,37 @@ def main(argv=None):
 
     begin, end = args.frames
     end = min(end, get_animation_frame_count(config))
-    total_t0 = time.perf_counter()
+
+    todo = []
     for frame_index in range(begin, end):
         out_path = os.path.join(args.out, f"frame_{frame_index:04d}.bmp")
         if args.resume and os.path.exists(out_path):
             print(f"FRAME #{frame_index} exists, skipping")
             continue
+        todo.append((frame_index, out_path))
 
+    def setup_pack(frame_index):
+        """Host-side frame prep: animation eval + subframe TLAS builds + pack.
+
+        Runs on a worker thread for frame N+1 while the device renders frame
+        N (the reference's TLAS build is likewise host work off the render's
+        critical path, scene.cc:698-710). Safe because the render only touches
+        the already-packed device tables, never `scene`.
+        """
         t0 = time.perf_counter()
         setup_animation_frame(scene, frame_index, config)
         dev = packer.pack_frame(scene)
-        setup_s = time.perf_counter() - t0
+        return dev, time.perf_counter() - t0
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    total_t0 = time.perf_counter()
+    next_fut = pool.submit(setup_pack, todo[0][0]) if todo else None
+    for i, (frame_index, out_path) in enumerate(todo):
+        dev, setup_s = next_fut.result()
+        if i + 1 < len(todo):
+            next_fut = pool.submit(setup_pack, todo[i + 1][0])
         print(
             f"FRAME #{frame_index} EXECUTION TIME OF setup_animation_frame() : "
             f"{setup_s*1e3:.0f}ms"

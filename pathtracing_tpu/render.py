@@ -63,16 +63,21 @@ def render_pixels(
     spp = spp or config.samples_per_pixel
     n = len(xs)
     out = np.empty((n, 3), np.float32)
+    # dispatch every tile before forcing any result: JAX dispatch is async,
+    # so the host keeps feeding the device instead of blocking per tile
+    pending = []
     for start in range(0, n, tile_pixels):
         end = min(start + tile_pixels, n)
         # pad to tile size so one compiled kernel serves every tile
         pad = tile_pixels - (end - start)
         txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
         tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
-        r, g, b = _render_tile(
+        rgb = _render_tile(
             config, scene, jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32),
             spp, jnp.int32(sample_base),
         )
+        pending.append((start, end, rgb))
+    for start, end, (r, g, b) in pending:
         tile = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
         out[start:end] = tile[: end - start]
     if average:

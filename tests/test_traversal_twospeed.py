@@ -43,7 +43,7 @@ def test_twospeed_matches_golden_scene(anyhit, compact_after, golden_dir):
     args = (scene, tlc, tlo, org, d, 0.0, 1e9, act)
     base = ray_query(*args, anyhit=anyhit, compact_after=compact_after,
                      leaf_every=None)
-    for K in (2, 4, 8):
+    for K in (2, 4, 8, 12):
         two = ray_query(*args, anyhit=anyhit, compact_after=compact_after,
                         leaf_every=K)
         _assert_hits_equal(base, two)
