@@ -7,9 +7,10 @@ draw — lanes that miss or terminate stop consuming their counters exactly
 like the reference's scalar control flow (SURVEY.md §3.2).
 
 The bounce loop is a ``lax.scan`` of one compiled bounce body
-(MAX_BOUNCES is static); every bounce runs one wavefront closest-hit trace
-and one any-hit shadow trace over the whole batch with inactive lanes
-masked.
+(MAX_BOUNCES is static); every bounce runs ONE merged wavefront drain —
+the any-hit shadow ray and the closest-hit bounce ray of each lane trace
+together in a 2R-lane query with a per-lane anyhit mask — with inactive
+lanes masked.
 """
 
 from __future__ import annotations
@@ -88,7 +89,11 @@ def trace_ray(
     hit, _ = ray_query(
         scene, tlas_count, tlas_offset, origin, d, tmin, 1e9, active
     )
+    return shade_hit(scene, light, hit, origin, d)
 
+
+def shade_hit(scene, light: LightParams, hit, origin: Vec3, d: Vec3) -> HitInfo:
+    """Shading fetch for a closest-hit result (reference: path_tracer.hh:356-412)."""
     miss = hit.thit < 0
 
     # ---- miss: sun disk (reference: path_tracer.hh:356-366) ----
@@ -178,20 +183,31 @@ def trace_ray(
     )
 
 
-def nee_branch(
+class NeeState(NamedTuple):
+    """nee_prepare -> nee_finish plumbing (split around the shadow trace)."""
+
+    u: Any                # the NEE rand4 draw
+    light_dir: Vec3
+    color: Vec3           # pre-visibility bsdf*pdf*light color
+    bsdf_pdf: Any
+    nee_pdf: Any
+    black: Any
+    shadow_active: Any
+
+
+def nee_prepare(
     seed: rng.Seed,
-    scene,
     light: LightParams,
-    tlas_count,
-    tlas_offset,
     info: HitInfo,
     tview: Vec3,
     active,
-    config: RenderConfig,
-):
-    """Next-event estimation toward the sun (reference: path_tracer.hh:594-620).
+) -> tuple:
+    """NEE up to (not including) the shadow trace
+    (reference: path_tracer.hh:594-609). Returns (seed, NeeState).
 
-    Returns (seed, color Vec3). Inactive lanes draw nothing and add nothing.
+    Split from nee_finish so the shadow ray can ride the same wavefront
+    drain as the bounce ray (per-lane anyhit in ops/traversal.py).
+    Inactive lanes draw nothing.
     """
     seed, u = rng.uniform4_masked(seed, active)
     light_dir = sample_cone(
@@ -210,26 +226,40 @@ def nee_branch(
     # Shadow ray only decides occlusion; lanes already black skip tracing
     # (reference: path_tracer.hh:606-609 short-circuit has no RNG).
     shadow_active = active & jnp.logical_not(black)
-    _, occluded = ray_query(
-        scene, tlas_count, tlas_offset, info.pos, light_dir,
-        config.min_ray_dist, config.max_ray_dist, shadow_active, anyhit=True,
+    return seed, NeeState(
+        u=u, light_dir=light_dir, color=color, bsdf_pdf=bsdf_pdf,
+        nee_pdf=nee_pdf, black=black, shadow_active=shadow_active,
     )
-    dead = black | occluded
+
+
+def nee_finish(
+    st: NeeState,
+    light: LightParams,
+    info: HitInfo,
+    occluded,
+    active,
+    config: RenderConfig,
+) -> Vec3:
+    """NEE after the shadow trace: MIS weight + sun transmittance march
+    (reference: path_tracer.hh:611-619). The march jitter is the already-
+    drawn u.w — no RNG here."""
+    dead = st.black | occluded
 
     mis_pdf = jnp.where(
         light.cos_solid_angle < 1.0,
-        (nee_pdf * nee_pdf + bsdf_pdf * bsdf_pdf) / nee_pdf,
+        (st.nee_pdf * st.nee_pdf + st.bsdf_pdf * st.bsdf_pdf) / st.nee_pdf,
         jnp.float32(1.0),
     )
 
-    color = color * atmosphere_attenuation(
-        u.w, info.pos, light_dir, jnp.full_like(u.w, config.max_ray_dist)
+    color = st.color * atmosphere_attenuation(
+        st.u.w, info.pos, st.light_dir,
+        jnp.full_like(st.u.w, config.max_ray_dist),
     )
     color = color / mis_pdf
 
     zero = jnp.zeros_like(color.x)
     live = active & jnp.logical_not(dead)
-    return seed, where3(live, color, Vec3(zero, zero, zero))
+    return where3(live, color, Vec3(zero, zero, zero))
 
 
 def path_trace_samples(
@@ -305,13 +335,7 @@ def path_trace_samples(
 
         info_now = info._replace(roughness=roughness)
 
-        seed, nee_color = nee_branch(
-            seed, scene, light, tlas_count, tlas_offset, info_now, view,
-            active, config,
-        )
-        contribution = contribution + where3(
-            active, attenuation * nee_color, Vec3(zero, zero, zero)
-        )
+        seed, nee = nee_prepare(seed, light, info_now, view, active)
 
         seed, u = rng.uniform4_masked(seed, active)
         sample = sample_bsdf(
@@ -324,9 +348,32 @@ def path_trace_samples(
         ray_dir = where3(active, new_dir, ray_dir)
         ray_o = where3(active, new_o, ray_o)
 
-        info = trace_ray(
-            scene, light, tlas_count, tlas_offset, ray_o, ray_dir,
-            config.min_ray_dist, active,
+        # One wavefront drain per bounce: the any-hit shadow ray and the
+        # closest-hit bounce ray trace together (per-lane anyhit mask),
+        # halving the while_loop drains and doubling the population the
+        # argsort compaction can balance. RNG order is untouched — both
+        # draws above happen before either trace result is consumed.
+        R = active.shape[0]
+        cat = lambda a, b: jnp.concatenate([a, b])
+        cat3 = lambda a, b: Vec3(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
+        hit2, occ2 = ray_query(
+            scene,
+            cat(tlas_count, tlas_count),
+            cat(tlas_offset, tlas_offset),
+            cat3(info_now.pos, ray_o),
+            cat3(nee.light_dir, ray_dir),
+            config.min_ray_dist,
+            config.max_ray_dist,
+            cat(nee.shadow_active, active),
+            anyhit=cat(jnp.ones(R, bool), jnp.zeros(R, bool)),
+        )
+        occluded = occ2[:R]
+        bounce_hit = jax.tree.map(lambda a: a[R:], hit2)
+        info = shade_hit(scene, light, bounce_hit, ray_o, ray_dir)
+
+        nee_color = nee_finish(nee, light, info_now, occluded, active, config)
+        contribution = contribution + where3(
+            active, attenuation * nee_color, Vec3(zero, zero, zero)
         )
 
         bsdf_pdf = sample.pdf

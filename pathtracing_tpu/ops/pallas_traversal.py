@@ -56,7 +56,7 @@ def _kernel(
     tlc_ref, tlo_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     tmax_ref, act_ref,
     thit_ref, u_ref, v_ref, inst_ref, prim_ref, back_ref, occ_ref,
-    *, tmin: float, anyhit: bool,
+    *, tmin: float, anyhit: bool, leaf_every: int | None,
 ):
     tabs = _SceneTabs(
         nl8=nl8_ref[...],
@@ -70,7 +70,10 @@ def _kernel(
 
     consts = make_consts(tlc_ref[...], tlo_ref[...], org, d)
     state = init_state(org.x.shape, active, tmax_ref[...])
-    final = _run_loop(tabs, state, consts, jnp.float32(tmin), anyhit, None)
+    final = _run_loop(
+        tabs, state, consts, jnp.float32(tmin), anyhit, None,
+        leaf_every=leaf_every,
+    )
 
     thit_ref[...] = final.c_thit
     u_ref[...] = final.c_u
@@ -93,6 +96,7 @@ def ray_query_pallas(
     anyhit: bool = False,
     block: int = 2048,
     interpret: bool | None = None,
+    leaf_every: int | None = None,
 ):
     """Pallas-gridded ray query; same contract as traversal.ray_query."""
     if interpret is None:
@@ -130,7 +134,9 @@ def ray_query_pallas(
     ]
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, tmin=float(tmin), anyhit=anyhit),
+        functools.partial(
+            _kernel, tmin=float(tmin), anyhit=anyhit, leaf_every=leaf_every
+        ),
         grid=(n_blocks,),
         in_specs=[
             full(scene.nl8), full(scene.tri_pos),

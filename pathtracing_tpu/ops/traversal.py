@@ -179,7 +179,7 @@ def ray_query(
     tmin: float,
     tmax0,
     active: Array,
-    anyhit: bool = False,
+    anyhit: bool | Array = False,
     max_steps: int | None = None,
     return_state: bool = False,
     compact_after: int | None = 32,
@@ -192,7 +192,9 @@ def ray_query(
     handles (int32). active: lanes that should trace at all.
     Closest-hit mode confirms every candidate (reference:
     path_tracer.hh:346-349); anyhit stops a lane at its first passing
-    candidate (reference: path_tracer.hh:415-427).
+    candidate (reference: path_tracer.hh:415-427). anyhit may be a per-lane
+    bool array (MUST be a python bool when uniform) so one wavefront can mix
+    shadow and closest-hit rays.
     Returns (RayHit, occluded).
 
     Convergence-skew mitigation: after ``compact_after`` full-batch steps,
@@ -259,7 +261,8 @@ def ray_query(
         take = perm[:P]
         state_p = jax.tree.map(lambda a: a[take], final)
         consts_p = jax.tree.map(lambda a: a[take], consts)
-        state_p = _run_loop(scene, state_p, consts_p, tmin, anyhit, None,
+        anyhit_p = anyhit if isinstance(anyhit, bool) else anyhit[take]
+        state_p = _run_loop(scene, state_p, consts_p, tmin, anyhit_p, None,
                             leaf_every=leaf_every)
         final = jax.tree.map(
             lambda full, part: full.at[take].set(part), final, state_p
@@ -271,6 +274,10 @@ def ray_query(
 
     if return_state:
         return final
+
+    if leaf_every is not None and max_steps is not None:
+        # bounded run: pending candidates never met an in-loop full step
+        final = _flush_pending(scene, final, tmin, anyhit)
 
     hit = RayHit(
         thit=final.c_thit,
@@ -337,6 +344,13 @@ def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None):
     def cond(carry):
         s, step = carry
         alive = jnp.any(jnp.logical_not(s.done))
+        if leaf_every is not None:
+            # keep stepping until the next full step flushes any pending
+            # candidate: flushing OUTSIDE the while_loop compiles as a
+            # different fused computation that XLA:CPU may round differently
+            # (observed 4-ulp thit drift), breaking bit-equality with the
+            # one-speed loop — all confirms must run in-loop
+            alive = jnp.logical_or(alive, jnp.any(s.p_prim >= 0))
         if max_steps is None:
             return alive
         return jnp.logical_and(alive, step < max_steps)
@@ -359,10 +373,10 @@ def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None):
         return s, step + 1
 
     final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-    if leaf_every is not None:
-        # a lane whose TLAS exhausted (or that hit max_steps) may still hold
-        # an untested candidate
-        final = _flush_pending(scene, final, tmin, anyhit)
+    # NOTE: a bounded run (max_steps) may exit with pending candidates; the
+    # caller either continues the loop with this state (compaction) or calls
+    # _flush_pending itself (ray_query's max_steps path). Unbounded runs
+    # always drain pendings in-loop (see cond).
     return final
 
 
@@ -437,20 +451,28 @@ def _flush_pending(scene, s, tmin, anyhit):
     ok, tu, tv, tt, tback = _tri_intersect(b_org, s.b_axis, b_S, p0, p1, p2)
     confirmed = pend & ok & (tt < s.tmax) & (tt > tmin)
 
-    if anyhit:
+    if anyhit is True:
         return s._replace(
             occluded=s.occluded | confirmed,
             done=s.done | confirmed,
             p_prim=jnp.where(pend, -1, s.p_prim),
         )
+    if anyhit is False:
+        cfm_any = jnp.zeros_like(confirmed)
+        cfm_cl = confirmed
+    else:
+        cfm_any = confirmed & anyhit
+        cfm_cl = confirmed & jnp.logical_not(anyhit)
     return s._replace(
-        c_thit=jnp.where(confirmed, tt, s.c_thit),
-        c_u=jnp.where(confirmed, tu, s.c_u),
-        c_v=jnp.where(confirmed, tv, s.c_v),
-        c_inst=jnp.where(confirmed, s.cand_inst, s.c_inst),
-        c_prim=jnp.where(confirmed, s.p_prim, s.c_prim),
-        c_back=jnp.where(confirmed, tback, s.c_back),
-        tmax=jnp.where(confirmed, tt, s.tmax),
+        occluded=s.occluded | cfm_any,
+        done=s.done | cfm_any,
+        c_thit=jnp.where(cfm_cl, tt, s.c_thit),
+        c_u=jnp.where(cfm_cl, tu, s.c_u),
+        c_v=jnp.where(cfm_cl, tv, s.c_v),
+        c_inst=jnp.where(cfm_cl, s.cand_inst, s.c_inst),
+        c_prim=jnp.where(cfm_cl, s.p_prim, s.c_prim),
+        c_back=jnp.where(cfm_cl, tback, s.c_back),
+        tmax=jnp.where(cfm_cl, tt, s.tmax),
         p_prim=jnp.where(pend, -1, s.p_prim),
     )
 
@@ -541,7 +563,7 @@ def _full_step(scene, s, consts, tmin, anyhit):
     )
     confirmed = test & thit_ok & (tt < s.tmax) & (tt > tmin)
 
-    if anyhit:
+    if anyhit is True:
         occluded = s.occluded | confirmed
         done = done | confirmed
         c_thit, c_u, c_v = s.c_thit, s.c_u, s.c_v
@@ -549,15 +571,23 @@ def _full_step(scene, s, consts, tmin, anyhit):
         tmax = s.tmax
     else:
         # confirm every candidate (reference: path_tracer.hh:346-349,
-        # ray_query.hh:280-290)
-        occluded = s.occluded
-        c_thit = jnp.where(confirmed, tt, s.c_thit)
-        c_u = jnp.where(confirmed, tu, s.c_u)
-        c_v = jnp.where(confirmed, tv, s.c_v)
-        c_inst = jnp.where(confirmed, cand_inst, s.c_inst)
-        c_prim = jnp.where(confirmed, payload, s.c_prim)
-        c_back = jnp.where(confirmed, tback, s.c_back)
-        tmax = jnp.where(confirmed, tt, s.tmax)
+        # ray_query.hh:280-290); a per-lane anyhit mask splits the confirm
+        # set into occlusion lanes and closest-hit lanes
+        if anyhit is False:
+            cfm_any = jnp.zeros_like(confirmed)
+            cfm_cl = confirmed
+        else:
+            cfm_any = confirmed & anyhit
+            cfm_cl = confirmed & jnp.logical_not(anyhit)
+        occluded = s.occluded | cfm_any
+        done = done | cfm_any
+        c_thit = jnp.where(cfm_cl, tt, s.c_thit)
+        c_u = jnp.where(cfm_cl, tu, s.c_u)
+        c_v = jnp.where(cfm_cl, tv, s.c_v)
+        c_inst = jnp.where(cfm_cl, cand_inst, s.c_inst)
+        c_prim = jnp.where(cfm_cl, payload, s.c_prim)
+        c_back = jnp.where(cfm_cl, tback, s.c_back)
+        tmax = jnp.where(cfm_cl, tt, s.tmax)
 
     new_state = _TravState(
         t_node=t_node,

@@ -21,7 +21,8 @@ def setup():
 
 
 @pytest.mark.parametrize("anyhit", [False, True])
-def test_pallas_matches_xla(setup, anyhit):
+@pytest.mark.parametrize("leaf_every", [None, 4])
+def test_pallas_matches_xla(setup, anyhit, leaf_every):
     scene, rays_g, scene_g = setup
     assert vmem_fits(scene)
     R = 1000  # non-multiple of block to exercise padding
@@ -34,7 +35,7 @@ def test_pallas_matches_xla(setup, anyhit):
 
     hit_p, occ_p = ray_query_pallas(
         scene, tlc, tlo, org, d, tmin, 1e9, act, anyhit=anyhit,
-        block=256, interpret=True,
+        block=256, interpret=True, leaf_every=leaf_every,
     )
     hit_x, occ_x = ray_query(
         scene, tlc, tlo, org, d, tmin, 1e9, act, anyhit=anyhit

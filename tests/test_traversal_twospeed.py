@@ -49,6 +49,42 @@ def test_twospeed_matches_golden_scene(anyhit, compact_after, golden_dir):
         _assert_hits_equal(base, two)
 
 
+def test_mixed_anyhit_matches_pure_modes(golden_dir):
+    """Per-lane anyhit (merged shadow+bounce wavefront) must reproduce the
+    pure anyhit=True and anyhit=False results lane-for-lane."""
+    import jax
+
+    sg = load_golden(str(golden_dir / "scene.gold"))
+    rg = load_golden(str(golden_dir / "rays.gold"))
+    scene = scene_device_from_golden(sg)
+    R = len(rg["origins"])
+    tlc = jnp.full(R, int(sg["tlas"][0]), jnp.int32)
+    tlo = jnp.full(R, int(sg["tlas"][1]), jnp.int32)
+    org = Vec3(*(jnp.asarray(rg["origins"][:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(rg["dirs"][:, i]) for i in range(3)))
+    act = jnp.ones(R, bool)
+
+    cl = ray_query(scene, tlc, tlo, org, d, 0.0, 1e9, act, anyhit=False)
+    ah = ray_query(scene, tlc, tlo, org, d, 0.0, 1e9, act, anyhit=True)
+
+    cat3 = lambda a: Vec3(
+        jnp.concatenate([a.x, a.x]),
+        jnp.concatenate([a.y, a.y]),
+        jnp.concatenate([a.z, a.z]),
+    )
+    mask = jnp.concatenate([jnp.ones(R, bool), jnp.zeros(R, bool)])
+    mh, mocc = ray_query(
+        scene,
+        jnp.concatenate([tlc, tlc]), jnp.concatenate([tlo, tlo]),
+        cat3(org), cat3(d), 0.0, 1e9, jnp.ones(2 * R, bool), anyhit=mask,
+    )
+    np.testing.assert_array_equal(np.asarray(mocc[:R]), np.asarray(ah[1]))
+    for name in ("thit", "inst", "prim", "bary_u", "back"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(mh, name)[R:]), np.asarray(getattr(cl[0], name))
+        )
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_twospeed_matches_random_scene(seed):
     rng = np.random.default_rng(seed)

@@ -70,6 +70,25 @@ def main():
         print(f"XLA traversal R={R}: {dt*1e3:.1f} ms = {R/dt/1e6:.2f} Mrays/s")
 
         if R == 65536:
+            # two-speed / compaction tuning sweep (closest-hit + any-hit)
+            for anyhit in (False, True):
+                for le in (None, 4, 8, 12, 16):
+                    for ca, cd in ((32, 4), (32, 8), (48, 8)):
+                        f = jax.jit(
+                            lambda o, dd, le=le, ca=ca, cd=cd: ray_query(
+                                scene, tlc, tlo, o, dd, 0.0, 1e9, act,
+                                anyhit=anyhit, leaf_every=le,
+                                compact_after=ca, compact_div=cd,
+                            )[1 if anyhit else 0]
+                        )
+                        dt = timeit(f, org, d)
+                        print(
+                            f"  sweep anyhit={int(anyhit)} K={le} "
+                            f"compact=({ca},{cd}): {dt*1e3:.1f} ms "
+                            f"= {R/dt/1e6:.2f} Mrays/s"
+                        )
+
+        if R == 65536:
             try:
                 fnp = jax.jit(
                     lambda o, dd: ray_query_pallas(
