@@ -255,8 +255,20 @@ def ray_query(
         and org.x.shape[0] >= 4 * compact_div * 256
     ):
         final = run(state, consts, compact_after)
-        # compact unfinished rays into a 1/compact_div prefix
-        perm = jnp.argsort(final.done)  # not-done (False) first
+        # compact unfinished rays into a 1/compact_div prefix: stable
+        # partition (not-done first) via cumsum+scatter — same permutation
+        # as a stable argsort of the done flags at O(n) instead of a sort
+        done = final.done
+        R_ = done.shape[0]
+        n_live = jnp.cumsum(jnp.logical_not(done).astype(jnp.int32))
+        dest = jnp.where(
+            done,
+            (n_live[-1] - 1) + jnp.cumsum(done.astype(jnp.int32)),
+            n_live - 1,
+        )
+        perm = jnp.zeros(R_, jnp.int32).at[dest].set(
+            jnp.arange(R_, dtype=jnp.int32), unique_indices=True
+        )
         P = org.x.shape[0] // compact_div
         take = perm[:P]
         state_p = jax.tree.map(lambda a: a[take], final)
