@@ -52,7 +52,7 @@ def run(cmd, **kw):
 def build_oracle() -> str:
     os.makedirs(BUILD, exist_ok=True)
     objs = []
-    for src in ["mesh.cc", "bvh.cc"]:
+    for src in ["mesh.cc", "bvh.cc", "scene.cc"]:
         obj = os.path.join(BUILD, src.replace(".cc", ".o"))
         if not os.path.exists(obj) or os.path.getmtime(obj) < os.path.getmtime(
             os.path.join(REF, src)

@@ -18,6 +18,7 @@
 #include <cstdlib>
 #include <string>
 #include <vector>
+#include <unistd.h>
 
 #include "math.hh"
 #include "mesh.hh"
@@ -689,6 +690,50 @@ static void cmd_render(golden_scene& gs, const char* out_path, int spp)
     fclose(g_out);
 }
 
+// ----------------------------------------------------------- animframe ----
+// Renders a frame of the reference's REAL hard-coded animation through its
+// own load_scene()/setup_animation_frame() (scene.cc), with the working
+// directory set so "data/*.obj" resolves to a prepared asset dir (real
+// assets + generated substitutes for the stripped terrain/bunny/pine blobs).
+// This is the full-pipeline ground truth: animation table, placement,
+// terrain recolor, per-subframe TLAS builds, camera and sun — all the
+// reference's code, none of ours.
+static void cmd_animframe(const char* workdir, int frame, int spp, const char* out_path)
+{
+    if(chdir(workdir)) { perror("chdir"); exit(1); }
+    scene s = load_scene();
+    setup_animation_frame(s, (uint)frame);
+    open_out(out_path);
+    std::vector<float> colors(IMAGE_WIDTH*IMAGE_HEIGHT*3);
+    std::vector<uint8_t> image(IMAGE_WIDTH*IMAGE_HEIGHT*4);
+    #pragma omp parallel for
+    for(uint i = 0; i < IMAGE_WIDTH * IMAGE_HEIGHT; ++i)
+    {
+        uint x = i % IMAGE_WIDTH;
+        uint y = i / IMAGE_WIDTH;
+        float3 c = {0,0,0};
+        for(int j = 0; j < spp; ++j)
+        {
+            c += path_trace_pixel(
+                uint2{x, y}, j,
+                s.subframes.data(), s.instances.data(),
+                s.bvh_buf.nodes.data(), s.bvh_buf.links.data(),
+                s.mesh_buf.indices.data(), s.mesh_buf.pos.data(),
+                s.mesh_buf.normal.data(),
+                s.mesh_buf.albedo.data(), s.mesh_buf.material.data()
+            );
+        }
+        c /= (float)spp;
+        colors[i*3] = c.x; colors[i*3+1] = c.y; colors[i*3+2] = c.z;
+        uchar4 o = tonemap_pixel(c);
+        image[i*4] = o.x; image[i*4+1] = o.y; image[i*4+2] = o.z; image[i*4+3] = o.w;
+    }
+    uint64_t w = IMAGE_WIDTH, h = IMAGE_HEIGHT;
+    write_array("colors", 'f', 4, { h, w, 3 }, colors.data());
+    write_array("image_bgra", 'u', 1, { h, w, 4 }, image.data());
+    fclose(g_out);
+}
+
 int main(int argc, char** argv)
 {
     setlocale(LC_ALL, "C");
@@ -701,7 +746,8 @@ int main(int argc, char** argv)
             "  harness blas OBJ OUT\n"
             "  harness scene DATA_DIR GROUND_OBJ OUT\n"
             "  harness trace DATA_DIR GROUND_OBJ OUT XSTRIDE YSTRIDE NSAMPLES\n"
-            "  harness render DATA_DIR GROUND_OBJ OUT SPP\n");
+            "  harness render DATA_DIR GROUND_OBJ OUT SPP\n"
+            "  harness animframe WORKDIR FRAME SPP OUT\n");
         return 1;
     }
     std::string cmd = argv[1];
@@ -736,6 +782,8 @@ int main(int argc, char** argv)
         golden_scene gs = build_golden_scene(argv[2], argv[3]);
         cmd_render(gs, argv[4], atoi(argv[5]));
     }
+    else if(cmd == "animframe")
+        cmd_animframe(argv[2], atoi(argv[3]), atoi(argv[4]), argv[5]);
     else { fprintf(stderr, "unknown command %s\n", cmd.c_str()); return 1; }
     return 0;
 }
