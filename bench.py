@@ -83,9 +83,9 @@ def main():
 
         n_dev = len(jax.devices())
         mesh = make_mesh(n_dev, 1)
-        render_frame_sharded(TESTING, scene, mesh, spp=1)  # warmup
+        render_frame_sharded(TESTING, scene, mesh, spp=1, wavefront=True)  # warmup
         t0 = time.perf_counter()
-        colors = render_frame_sharded(TESTING, scene, mesh, spp=spp)
+        colors = render_frame_sharded(TESTING, scene, mesh, spp=spp, wavefront=True)
         dt = time.perf_counter() - t0
         assert np.isfinite(colors).all()
         msamples_s = W * H * spp / dt / 1e6
@@ -102,10 +102,10 @@ def main():
         return
 
     # warmup/compile on a tile
-    render_pixels(TESTING, scene, xs[: 1 << 15], ys[: 1 << 15], spp=spp)
+    render_pixels(TESTING, scene, xs[: 1 << 15], ys[: 1 << 15], spp=spp, wavefront=True)
 
     t0 = time.perf_counter()
-    colors = render_pixels(TESTING, scene, xs, ys, spp=spp)
+    colors = render_pixels(TESTING, scene, xs, ys, spp=spp, wavefront=True)
     dt = time.perf_counter() - t0
     assert np.isfinite(colors).all()
 

@@ -54,6 +54,11 @@ def main(argv=None):
         help="capture a jax.profiler device trace of the first frame",
     )
     ap.add_argument(
+        "--wavefront",
+        action="store_true",
+        help="use the path-regeneration wavefront kernel (ops/wavefront.py)",
+    )
+    ap.add_argument(
         "--shard",
         action="store_true",
         help="shard each frame over all local devices (tiles axis)",
@@ -156,7 +161,7 @@ def main(argv=None):
                 sums = render_pixels(
                     config, dev, idx % W, idx // W,
                     spp=b - a, sample_base=a, average=False,
-                    tile_pixels=args.tile_pixels,
+                    tile_pixels=args.tile_pixels, wavefront=args.wavefront,
                 ).reshape(H, W, 3)
                 part = os.path.join(
                     args.out, f"frame_{frame_index:04d}.part_{a}_{b}.npz"
@@ -171,7 +176,9 @@ def main(argv=None):
                 from pathtracing_tpu.parallel.sharding import render_frame_sharded
                 from pathtracing_tpu.utils.vec import Vec3
 
-                colors = render_frame_sharded(config, dev, local_device_mesh())
+                colors = render_frame_sharded(
+                    config, dev, local_device_mesh(), wavefront=args.wavefront
+                )
                 bb, gg, rr, aa = jax.jit(tonemap)(
                     Vec3(*(jnp.asarray(colors[..., i]) for i in range(3)))
                 )
@@ -181,7 +188,8 @@ def main(argv=None):
                 )
             else:
                 colors, image = render_frame(
-                    config, dev, tile_pixels=args.tile_pixels
+                    config, dev, tile_pixels=args.tile_pixels,
+                    wavefront=args.wavefront,
                 )
         dt = time.perf_counter() - t0
         n_samples = config.image_width * config.image_height * (

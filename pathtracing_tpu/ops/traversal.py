@@ -176,7 +176,7 @@ def ray_query(
     tlas_offset: Array,
     org: Vec3,
     d: Vec3,
-    tmin: float,
+    tmin,
     tmax0,
     active: Array,
     anyhit: bool | Array = False,
@@ -229,7 +229,9 @@ def ray_query(
 
     t_inv = _safe_inv(d)
     t_link_offset = tlas_offset * 8 + _octant(d) * tlas_count
-    tmin = jnp.float32(tmin)
+    # tmin may be per-lane (mixed primary/secondary wavefronts); scalars
+    # stay 0-d so the pure-scalar path compiles identically
+    tmin = jnp.asarray(tmin, jnp.float32)
     tmax0 = jax.lax.stop_gradient(
         jnp.broadcast_to(jnp.asarray(tmax0, jnp.float32), R)
     )
@@ -274,7 +276,8 @@ def ray_query(
         state_p = jax.tree.map(lambda a: a[take], final)
         consts_p = jax.tree.map(lambda a: a[take], consts)
         anyhit_p = anyhit if isinstance(anyhit, bool) else anyhit[take]
-        state_p = _run_loop(scene, state_p, consts_p, tmin, anyhit_p, None,
+        tmin_p = tmin if tmin.ndim == 0 else tmin[take]
+        state_p = _run_loop(scene, state_p, consts_p, tmin_p, anyhit_p, None,
                             leaf_every=leaf_every)
         final = jax.tree.map(
             lambda full, part: full.at[take].set(part), final, state_p

@@ -37,12 +37,15 @@ def make_mesh(n_tiles: int, n_samples: int, devices=None) -> Mesh:
     return Mesh(dev, ("tiles", "samples"))
 
 
-def make_sharded_render(config: RenderConfig, mesh: Mesh, spp: int):
+def make_sharded_render(
+    config: RenderConfig, mesh: Mesh, spp: int, wavefront: bool = False
+):
     """Returns a jitted fn(scene, xs, ys) -> (r, g, b) per-pixel radiance sums.
 
     xs/ys are flat pixel arrays sharded over the ``tiles`` axis; every
     device in a ``samples`` column computes its slice of the spp range and
-    the column is psum-reduced.
+    the column is psum-reduced. wavefront=True uses the path-regeneration
+    kernel (ops/wavefront.py) for the local sample range.
     """
     n_sample_shards = mesh.shape["samples"]
     assert spp % n_sample_shards == 0, (spp, n_sample_shards)
@@ -52,15 +55,23 @@ def make_sharded_render(config: RenderConfig, mesh: Mesh, spp: int):
         shard = jax.lax.axis_index("samples")
         base = shard.astype(jnp.int32) * local_spp
 
-        def body(acc, s):
-            si = jnp.full(xs.shape, base + s, jnp.int32)
-            c = path_trace_samples(config, scene, xs, ys, si)
-            return (acc[0] + c.x, acc[1] + c.y, acc[2] + c.z), None
+        if wavefront:
+            from pathtracing_tpu.ops.wavefront import path_trace_wavefront
 
-        zero = jnp.zeros(xs.shape, jnp.float32)
-        (r, g, b), _ = jax.lax.scan(
-            body, (zero, zero, zero), jnp.arange(local_spp, dtype=jnp.int32)
-        )
+            acc = path_trace_wavefront(
+                config, scene, xs, ys, local_spp, sample_base=base
+            )
+            r, g, b = acc.x, acc.y, acc.z
+        else:
+            def body(acc, s):
+                si = jnp.full(xs.shape, base + s, jnp.int32)
+                c = path_trace_samples(config, scene, xs, ys, si)
+                return (acc[0] + c.x, acc[1] + c.y, acc[2] + c.z), None
+
+            zero = jnp.zeros(xs.shape, jnp.float32)
+            (r, g, b), _ = jax.lax.scan(
+                body, (zero, zero, zero), jnp.arange(local_spp, dtype=jnp.int32)
+            )
         # reduce the sample axis (ICI all-reduce)
         r = jax.lax.psum(r, "samples")
         g = jax.lax.psum(g, "samples")
@@ -82,6 +93,7 @@ def render_frame_sharded(
     scene,
     mesh: Mesh,
     spp: int | None = None,
+    wavefront: bool = False,
 ):
     """Full-frame render across the mesh; returns (H, W, 3) averaged f32."""
     spp = spp or config.samples_per_pixel
@@ -92,7 +104,7 @@ def render_frame_sharded(
     idx = np.concatenate([idx, np.zeros(pad, np.int32)])
     xs = jnp.asarray(idx % W, jnp.int32)
     ys = jnp.asarray(idx // W, jnp.int32)
-    fn = make_sharded_render(config, mesh, spp)
+    fn = make_sharded_render(config, mesh, spp, wavefront=wavefront)
     r, g, b = fn(scene, xs, ys)
     colors = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
     colors = colors[: W * H] / np.float32(spp)

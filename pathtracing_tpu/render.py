@@ -21,6 +21,18 @@ from pathtracing_tpu.ops.tonemap import tonemap
 from pathtracing_tpu.utils.vec import Vec3
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+def _render_tile_wavefront(
+    config: RenderConfig, scene, xs, ys, spp: int, sample_base: int = 0
+):
+    """Wavefront-with-regeneration tile kernel (ops/wavefront.py): ~100%
+    lane occupancy across bounces instead of the scan's masked dead lanes."""
+    from pathtracing_tpu.ops.wavefront import path_trace_wavefront
+
+    acc = path_trace_wavefront(config, scene, xs, ys, spp, sample_base)
+    return acc.x, acc.y, acc.z
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def _render_tile(config: RenderConfig, scene, xs, ys, spp: int, sample_base=0):
     """Sum `spp` samples per lane starting at sample_base; returns (r,g,b).
@@ -54,11 +66,15 @@ def render_pixels(
     tile_pixels: int = 1 << 15,
     sample_base: int = 0,
     average: bool = True,
+    wavefront: bool = False,
 ):
     """Radiance for an arbitrary pixel list. Returns (N, 3) f32.
 
     average=False returns raw sums over [sample_base, sample_base+spp) for
     sample-range checkpointing (partials merge by addition).
+    wavefront=True uses the path-regeneration kernel (1.25x on CPU, see
+    ops/wavefront.py); per-sample semantics are identical up to chaotic
+    boundary paths, so checkpoint partials remain mergeable.
     """
     spp = spp or config.samples_per_pixel
     n = len(xs)
@@ -72,10 +88,18 @@ def render_pixels(
         pad = tile_pixels - (end - start)
         txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
         tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
-        rgb = _render_tile(
-            config, scene, jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32),
-            spp, jnp.int32(sample_base),
-        )
+        if wavefront:
+            rgb = _render_tile_wavefront(
+                config, scene,
+                jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32),
+                spp, int(sample_base),
+            )
+        else:
+            rgb = _render_tile(
+                config, scene,
+                jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32),
+                spp, jnp.int32(sample_base),
+            )
         pending.append((start, end, rgb))
     for start, end, (r, g, b) in pending:
         tile = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
@@ -90,15 +114,16 @@ def render_frame(
     scene,
     spp: int | None = None,
     tile_pixels: int = 1 << 15,
+    wavefront: bool = False,
 ):
     """Render a full frame; returns (colors (H,W,3) f32, image (H,W,4) u8 BGRA)."""
     W, H = config.image_width, config.image_height
     idx = np.arange(W * H, dtype=np.int32)
     xs = idx % W
     ys = idx // W
-    colors = render_pixels(config, scene, xs, ys, spp, tile_pixels).reshape(
-        H, W, 3
-    )
+    colors = render_pixels(
+        config, scene, xs, ys, spp, tile_pixels, wavefront=wavefront
+    ).reshape(H, W, 3)
     b, g, r, a = jax.jit(tonemap)(
         Vec3(
             jnp.asarray(colors[..., 0]),
