@@ -12,9 +12,17 @@ animated scene (139 MB nl8) stays on the XLA path. The loop body itself is
 shared with the XLA path (_run_loop), so semantics are identical by
 construction and golden-tested in interpret mode.
 
-Status: interpret-mode verified; Mosaic lowering depends on dynamic-gather
-support on the target chip — ray_query_auto falls back to the XLA path if
-compilation fails.
+Status: interpret-mode verified. Mosaic lowering was probed offline via
+AOT TPU lowering (jax.jit(...).trace(...).lower(lowering_platforms=
+("tpu",)) against the v5e topology): it FAILS — Mosaic's dynamic_gather
+requires operand/indices/output to have identical 2-D shapes (a VREG
+permute), so a (N, 8) table row-gather by (R,) lane indices is not
+expressible; scalar-prefetch block index_maps don't apply either because
+traversal indices are produced inside the loop. Large-table random
+gathers are exactly what XLA's native gather HLO provides (measured
+~865 GB/s for packed rows on v5e), so the XLA wavefront path in
+ops/traversal.py IS the TPU-native fast path, and ray_query_auto's
+fallback (below) is the production behavior, not a stopgap.
 """
 
 from __future__ import annotations

@@ -15,6 +15,9 @@ per-lane and draws are masked. Per-pixel accumulation happens in sample
 order (a sample's contribution folds into the accumulator when its path
 dies), matching the tile renderer's addition order; residual differences
 are kernel-fusion ulps only (golden-tested in tests/test_wavefront.py).
+
+Forward rendering only: the dynamic-trip-count while_loop is not
+reverse-differentiable — diff/render.py stays on the scan integrator.
 """
 
 from __future__ import annotations

@@ -49,3 +49,29 @@ def test_pallas_matches_xla(setup, anyhit, leaf_every):
         np.testing.assert_allclose(
             np.asarray(hit_p.thit), np.asarray(hit_x.thit), rtol=1e-6, atol=1e-6
         )
+
+
+def test_auto_falls_back_when_lowering_fails(setup, monkeypatch):
+    """ray_query_auto must transparently fall back to the XLA path when the
+    Pallas kernel fails to lower (which it does on current Mosaic: dynamic
+    gathers must be same-shape — see ops/pallas_traversal.py docstring)."""
+    import pathtracing_tpu.ops.pallas_traversal as PT
+
+    scene, rays_g, scene_g = setup
+
+    def boom(*a, **k):
+        raise NotImplementedError("Only 2D gather is supported")
+
+    monkeypatch.setattr(PT, "ray_query_pallas", boom)
+
+    R = 64
+    tlc = jnp.full(R, int(scene_g["tlas"][0]), jnp.int32)
+    tlo = jnp.full(R, int(scene_g["tlas"][1]), jnp.int32)
+    org = Vec3(*(jnp.asarray(rays_g["origins"][:R, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(rays_g["dirs"][:R, i]) for i in range(3)))
+    act = jnp.ones(R, bool)
+    hit_a, _ = PT.ray_query_auto(
+        scene, tlc, tlo, org, d, 0.0, 1e9, act, block=256, interpret=True
+    )
+    hit_x, _ = ray_query(scene, tlc, tlo, org, d, 0.0, 1e9, act)
+    np.testing.assert_array_equal(np.asarray(hit_a.inst), np.asarray(hit_x.inst))

@@ -1,0 +1,163 @@
+#!/usr/bin/env python3
+"""Offline v5e compile-check: AOT-compile every device path for a REAL TPU
+target without TPU hardware.
+
+jax.experimental.topologies provides an abstract v5e topology backed by the
+local libtpu compiler, so `jit(...).lower(...).compile()` runs the full
+XLA:TPU pipeline (including Mosaic for Pallas kernels) and surfaces
+TPU-only compile errors, memory footprints, and optimized HLO — exactly
+what you cannot get when the axon tunnel is down.
+
+    python tools/aot_check.py [--dump-hlo DIR]
+
+Checks: integrator (scan), wavefront renderer, 8-chip sharded render
+(tiles x samples mesh, psum collectives), traversal query, and the Pallas
+kernel's Mosaic lowering (expected to FAIL on current Mosaic — same-shape
+dynamic_gather only; the XLA path is the production path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import pathlib
+
+REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dump-hlo", default=None)
+    ap.add_argument("--topology", default="v5e:4x2")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    from jax.experimental import topologies
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from pathtracing_tpu.config import TESTING
+    from pathtracing_tpu.ops.integrator import path_trace_samples
+    from pathtracing_tpu.ops.wavefront import path_trace_wavefront
+    from pathtracing_tpu.ops.traversal import ray_query
+    from pathtracing_tpu.parallel.sharding import make_sharded_render
+    from pathtracing_tpu.utils.goldenio import load_golden
+    from pathtracing_tpu.utils.vec import Vec3
+    from golden_scene import scene_device_from_golden
+
+    topo = topologies.get_topology_desc(platform="tpu", topology_name=args.topology)
+    print(f"topology {args.topology}: {len(topo.devices)} devices")
+    mesh1 = Mesh(np.array(topo.devices[:1]), ("d",))
+    sh = NamedSharding(mesh1, P())
+
+    sg = load_golden(str(REPO / "tests/golden/scene.gold"))
+    scene = scene_device_from_golden(sg)
+    spec = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh)
+    scene_specs = jax.tree.map(spec, scene)
+    n = 1 << 15
+    iv = jax.ShapeDtypeStruct((n,), jnp.int32, sharding=sh)
+    fv = jax.ShapeDtypeStruct((n,), jnp.float32, sharding=sh)
+
+    failures = 0
+
+    def check(name, thunk):
+        nonlocal failures
+        try:
+            c = thunk()
+            ma = c.memory_analysis()
+            extra = (
+                f" temp={ma.temp_size_in_bytes/1e6:.1f}MB"
+                if ma is not None
+                else ""
+            )
+            print(f"  {name}: COMPILES{extra}")
+            return c
+        except Exception as e:
+            failures += 1
+            print(f"  {name}: FAIL {type(e).__name__}: {str(e)[:200]}")
+            return None
+
+    check(
+        "integrator (scan)",
+        lambda: jax.jit(
+            functools.partial(path_trace_samples, TESTING), out_shardings=sh
+        ).lower(scene_specs, iv, iv, iv).compile(),
+    )
+    check(
+        "wavefront renderer",
+        lambda: jax.jit(
+            functools.partial(path_trace_wavefront, TESTING, spp=8),
+            static_argnames=("spp",),
+            out_shardings=sh,
+        ).lower(scene_specs, iv, iv).compile(),
+    )
+
+    ctrav = check(
+        "traversal ray_query",
+        lambda: jax.jit(
+            lambda sc, ox, oy, oz, dx, dy, dz: ray_query(
+                sc,
+                jnp.full(n, int(sg["tlas"][0]), jnp.int32),
+                jnp.full(n, int(sg["tlas"][1]), jnp.int32),
+                Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                0.0, 1e9, jnp.ones(n, bool),
+            )[0].thit,
+            out_shardings=sh,
+        ).lower(scene_specs, fv, fv, fv, fv, fv, fv).compile(),
+    )
+    if ctrav is not None and args.dump_hlo:
+        out = pathlib.Path(args.dump_hlo) / "traversal_v5e.hlo"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(ctrav.as_text())
+        print(f"  (optimized HLO -> {out})")
+
+    # multi-chip sharded render over the full topology
+    n_dev = len(topo.devices)
+    meshN = Mesh(np.array(topo.devices).reshape(n_dev // 2, 2), ("tiles", "samples"))
+    npix = (n_dev // 2) * (1 << 14)
+    shp = NamedSharding(meshN, P(("tiles",)))
+    shr = NamedSharding(meshN, P())
+    scene_specsN = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=shr), scene
+    )
+    ip = jax.ShapeDtypeStruct((npix,), jnp.int32, sharding=shp)
+    for wavefront in (False, True):
+        check(
+            f"sharded {n_dev}-chip wavefront={wavefront}",
+            lambda wf=wavefront: make_sharded_render(
+                TESTING, meshN, spp=16, wavefront=wf
+            ).lower(scene_specsN, ip, ip).compile(),
+        )
+
+    # Pallas Mosaic lowering — documented-expected failure on current Mosaic
+    from pathtracing_tpu.ops.pallas_traversal import ray_query_pallas
+
+    try:
+        jax.jit(
+            lambda sc, ox, oy, oz, dx, dy, dz: ray_query_pallas(
+                sc,
+                jnp.full(n, int(sg["tlas"][0]), jnp.int32),
+                jnp.full(n, int(sg["tlas"][1]), jnp.int32),
+                Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                0.0, 1e9, jnp.ones(n, bool), interpret=False,
+            )[0].thit,
+            out_shardings=sh,
+        ).lower(scene_specs, fv, fv, fv, fv, fv, fv)
+        print("  pallas Mosaic lowering: LOWERS (Mosaic gained gather support!"
+              " — re-evaluate the VMEM-resident kernel)")
+    except Exception as e:
+        print(f"  pallas Mosaic lowering: fails as documented"
+              f" ({type(e).__name__}: {str(e)[:80]})")
+
+    print("failures:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
