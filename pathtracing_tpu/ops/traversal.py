@@ -349,10 +349,11 @@ def make_consts(tlas_count, tlas_offset, org, d) -> "_TravConsts":
 
 # Default two-speed period for ray_query(leaf_every=-1); module-level so perf
 # tooling can flip it globally (re-jit picks it up).  None = one-speed loop.
-# K=12 is the measured CPU optimum on the golden scene (1.7x closest-hit,
-# 2.1x any-hit vs one-speed); freeze waste takes over by K=16.  Re-tune on
-# TPU with tools/perf_probe.py when the chip is reachable.
-DEFAULT_LEAF_EVERY: int | None = 12
+# CPU-measured optimum: K=12 on pure traversal batches, K=8 end-to-end
+# under the merged shadow+bounce drains (higher leaf density); K=16
+# collapses (freeze waste).  Re-tune on TPU with tools/perf_probe.py /
+# tools/tpu_session.py when the chip is reachable.
+DEFAULT_LEAF_EVERY: int | None = 8
 
 
 def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None):
