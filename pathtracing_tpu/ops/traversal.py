@@ -185,6 +185,7 @@ def ray_query(
     compact_after: int | None = 32,
     compact_div: int = 4,
     leaf_every: int | None = -1,
+    compact_schedule: tuple | None = None,
 ):
     """Trace a batch of rays to completion.
 
@@ -198,9 +199,15 @@ def ray_query(
     Returns (RayHit, occluded).
 
     Convergence-skew mitigation: after ``compact_after`` full-batch steps,
-    unfinished rays are argsort-compacted into a 1/compact_div prefix and
+    unfinished rays are partition-compacted into a 1/compact_div prefix and
     finish there at 1/compact_div the per-step cost; a final full-batch
     pass mops up any stragglers that did not fit (usually zero steps).
+    ``compact_schedule`` generalizes this to nested stages
+    ``((after_1, div_1), (after_2, div_2), ...)`` — each stage runs
+    ``after_i`` steps at the current width then compacts by ``div_i``
+    (relative to the current width) before the next stage; overrides
+    compact_after/compact_div (as does ``DEFAULT_COMPACT_SCHEDULE``).
+    Results are bit-identical under any schedule (pure lane permutation).
 
     Two-speed loop: with ``leaf_every=K``, only every K-th iteration runs the
     expensive leaf work (TLAS->BLAS entry, triangle test); the K-1 cheap
@@ -247,45 +254,22 @@ def ray_query(
         t_inv=t_inv,
     )
 
-    def run(state, consts, steps):
-        return _run_loop(scene, state, consts, tmin, anyhit, steps,
-                         leaf_every=leaf_every)
+    if compact_schedule is None:
+        compact_schedule = (
+            DEFAULT_COMPACT_SCHEDULE
+            if DEFAULT_COMPACT_SCHEDULE is not None
+            else ((compact_after, compact_div),)
+            if compact_after is not None
+            else ()
+        )
 
-    if (
-        compact_after is not None
-        and max_steps is None
-        and org.x.shape[0] >= 4 * compact_div * 256
-    ):
-        final = run(state, consts, compact_after)
-        # compact unfinished rays into a 1/compact_div prefix: stable
-        # partition (not-done first) via cumsum+scatter — same permutation
-        # as a stable argsort of the done flags at O(n) instead of a sort
-        done = final.done
-        R_ = done.shape[0]
-        n_live = jnp.cumsum(jnp.logical_not(done).astype(jnp.int32))
-        dest = jnp.where(
-            done,
-            (n_live[-1] - 1) + jnp.cumsum(done.astype(jnp.int32)),
-            n_live - 1,
+    if max_steps is None and compact_schedule:
+        final = _run_compacted(
+            scene, state, consts, tmin, anyhit, leaf_every, tuple(compact_schedule)
         )
-        perm = jnp.zeros(R_, jnp.int32).at[dest].set(
-            jnp.arange(R_, dtype=jnp.int32), unique_indices=True
-        )
-        P = org.x.shape[0] // compact_div
-        take = perm[:P]
-        state_p = jax.tree.map(lambda a: a[take], final)
-        consts_p = jax.tree.map(lambda a: a[take], consts)
-        anyhit_p = anyhit if isinstance(anyhit, bool) else anyhit[take]
-        tmin_p = tmin if tmin.ndim == 0 else tmin[take]
-        state_p = _run_loop(scene, state_p, consts_p, tmin_p, anyhit_p, None,
-                            leaf_every=leaf_every)
-        final = jax.tree.map(
-            lambda full, part: full.at[take].set(part), final, state_p
-        )
-        # mop-up (zero iterations unless >P rays were unfinished)
-        final = run(final, consts, None)
     else:
-        final = run(state, consts, max_steps)
+        final = _run_loop(scene, state, consts, tmin, anyhit, max_steps,
+                          leaf_every=leaf_every)
 
     if return_state:
         return final
@@ -346,6 +330,48 @@ def make_consts(tlas_count, tlas_offset, org, d) -> "_TravConsts":
         d=d,
         t_inv=t_inv,
     )
+
+def _partition_not_done(done):
+    """Stable partition permutation, not-done lanes first (O(n) cumsum+
+    scatter — same order as a stable argsort of the done flags)."""
+    R_ = done.shape[0]
+    n_live = jnp.cumsum(jnp.logical_not(done).astype(jnp.int32))
+    dest = jnp.where(
+        done,
+        (n_live[-1] - 1) + jnp.cumsum(done.astype(jnp.int32)),
+        n_live - 1,
+    )
+    return jnp.zeros(R_, jnp.int32).at[dest].set(
+        jnp.arange(R_, dtype=jnp.int32), unique_indices=True
+    )
+
+
+def _run_compacted(scene, state, consts, tmin, anyhit, leaf_every, schedule):
+    """Drain with nested prefix compaction (see ray_query docstring)."""
+    R_ = state.done.shape[0]
+    if not schedule or R_ // schedule[0][1] < 1024:
+        return _run_loop(scene, state, consts, tmin, anyhit, None,
+                         leaf_every=leaf_every)
+    (after, div), rest = schedule[0], schedule[1:]
+    state = _run_loop(scene, state, consts, tmin, anyhit, after,
+                      leaf_every=leaf_every)
+    take = _partition_not_done(state.done)[: R_ // div]
+    sub = jax.tree.map(lambda a: a[take], state)
+    consts_s = jax.tree.map(lambda a: a[take], consts)
+    anyhit_s = anyhit if isinstance(anyhit, bool) else anyhit[take]
+    tmin_s = tmin if tmin.ndim == 0 else tmin[take]
+    sub = _run_compacted(
+        scene, sub, consts_s, tmin_s, anyhit_s, leaf_every, rest
+    )
+    state = jax.tree.map(lambda full, part: full.at[take].set(part), state, sub)
+    # mop-up: zero iterations unless more than R/div lanes were unfinished
+    return _run_loop(scene, state, consts, tmin, anyhit, None,
+                     leaf_every=leaf_every)
+
+
+# Multi-stage compaction override for ray_query(compact_schedule=None);
+# module-level so perf tooling can flip it globally.
+DEFAULT_COMPACT_SCHEDULE: tuple | None = None
 
 # Default two-speed period for ray_query(leaf_every=-1); module-level so perf
 # tooling can flip it globally (re-jit picks it up).  None = one-speed loop.

@@ -73,18 +73,19 @@ def main():
             # two-speed / compaction tuning sweep (closest-hit + any-hit)
             for anyhit in (False, True):
                 for le in (None, 4, 8, 12, 16):
-                    for ca, cd in ((32, 4), (32, 8), (48, 8)):
+                    for sched in (((32, 4),), ((32, 8),), ((48, 8),),
+                                  ((16, 2), (16, 4)), ((16, 2), (32, 4))):
                         f = jax.jit(
-                            lambda o, dd, le=le, ca=ca, cd=cd: ray_query(
+                            lambda o, dd, le=le, s=sched: ray_query(
                                 scene, tlc, tlo, o, dd, 0.0, 1e9, act,
                                 anyhit=anyhit, leaf_every=le,
-                                compact_after=ca, compact_div=cd,
+                                compact_schedule=s,
                             )[1 if anyhit else 0]
                         )
                         dt = timeit(f, org, d)
                         print(
                             f"  sweep anyhit={int(anyhit)} K={le} "
-                            f"compact=({ca},{cd}): {dt*1e3:.1f} ms "
+                            f"sched={sched}: {dt*1e3:.1f} ms "
                             f"= {R/dt/1e6:.2f} Mrays/s"
                         )
 
