@@ -20,6 +20,9 @@ import numpy as np
 
 
 def run(steps: int = 40, lr: float = 0.02, n_pixels: int = 512, seed: int = 0, quiet=False):
+    from pathtracing_tpu.utils.platform import ensure_backend
+
+    ensure_backend()
     import jax
     import jax.numpy as jnp
 
