@@ -159,6 +159,35 @@ def _slab_hit(nmin: Vec3, nmax: Vec3, org: Vec3, inv: Vec3, tmin, tmax):
     return (near <= far) & (far > tmin) & (near < tmax)
 
 
+def _read_node(scene, lidx):
+    """One fused row gather for a node visit: AABB + accept/cancel links.
+
+    Reads the bf16-compressed table (scene.nl5, 20 B rows; see
+    scene/device.py pack_nl5) when attached, else the f32 nl8 (32 B rows).
+    The bf16 bounds are outward-rounded so the slab-accept set is a superset
+    of the exact one; traversal results stay bit-identical because every
+    candidate still passes the exact triangle test and strict t bounds.
+    """
+    if scene.nl5 is not None:
+        row = scene.nl5[lidx]  # (R, 5)
+        bits = jax.lax.bitcast_convert_type(row[:, 0:3], jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(
+            bits & np.uint32(0xFFFF0000), jnp.float32
+        )
+        lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+        nmin = Vec3(hi[:, 0], lo[:, 0], hi[:, 1])
+        nmax = Vec3(lo[:, 1], hi[:, 2], lo[:, 2])
+        accept = jax.lax.bitcast_convert_type(row[:, 3], jnp.int32)
+        cancel = jax.lax.bitcast_convert_type(row[:, 4], jnp.int32)
+    else:
+        row = scene.nl8[lidx]  # (R, 8)
+        nmin = Vec3(row[:, 0], row[:, 1], row[:, 2])
+        nmax = Vec3(row[:, 3], row[:, 4], row[:, 5])
+        accept = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        cancel = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+    return nmin, nmax, accept, cancel
+
+
 class _TravConsts(NamedTuple):
     """Per-ray loop-invariant inputs (permutable for compaction)."""
 
@@ -444,11 +473,7 @@ def _cheap_step(scene, s, consts, tmin):
     valid = valid & jnp.logical_not(exhausted)
 
     lidx = jnp.where(valid, link_off + node_idx, 0)
-    row = scene.nl8[lidx]  # (R, 8): AABB + accept/cancel bit patterns
-    nmin = Vec3(row[:, 0], row[:, 1], row[:, 2])
-    nmax = Vec3(row[:, 3], row[:, 4], row[:, 5])
-    accept = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-    cancel = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+    nmin, nmax, accept, cancel = _read_node(scene, lidx)
 
     o = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), consts.org)
     inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), consts.t_inv)
@@ -540,11 +565,7 @@ def _full_step(scene, s, consts, tmin, anyhit):
     valid = valid & jnp.logical_not(exhausted)
 
     lidx = jnp.where(valid, link_off + node_idx, 0)
-    row = scene.nl8[lidx]  # (R, 8): AABB + accept/cancel bit patterns
-    nmin = Vec3(row[:, 0], row[:, 1], row[:, 2])
-    nmax = Vec3(row[:, 3], row[:, 4], row[:, 5])
-    accept = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-    cancel = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+    nmin, nmax, accept, cancel = _read_node(scene, lidx)
 
     o = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), org)
     inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), t_inv)

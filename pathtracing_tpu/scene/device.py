@@ -38,6 +38,55 @@ class SceneDevice(NamedTuple):
     sf_tlas_offset: Array
     sf_cam: Array     # (S, 18) f32
     sf_light: Array   # (S, 7) f32
+    # Optional bf16-compressed node table (see pack_nl5): 20 B rows instead
+    # of 32 B on the traversal's hottest gather. When present the traversal
+    # reads it instead of nl8; results stay bit-identical (outward-rounded
+    # bounds only widen the accept set; the exact triangle confirm rejects
+    # the extras). None = disabled.
+    nl5: Array | None = None
+
+
+def _round_bf16_down(x: np.ndarray) -> np.ndarray:
+    """Largest bf16 <= x, as f32 bit patterns >> 16 (uint32)."""
+    bits = np.ascontiguousarray(x, f32).view(np.uint32)
+    inexact = (bits & np.uint32(0xFFFF)) != 0
+    trunc = bits >> 16
+    neg = (bits >> 31).astype(bool)
+    # toward zero == down for x>0; for x<0 grow the magnitude when inexact
+    return trunc + (inexact & neg).astype(np.uint32)
+
+
+def _round_bf16_up(x: np.ndarray) -> np.ndarray:
+    """Smallest bf16 >= x, as f32 bit patterns >> 16 (uint32)."""
+    bits = np.ascontiguousarray(x, f32).view(np.uint32)
+    inexact = (bits & np.uint32(0xFFFF)) != 0
+    trunc = bits >> 16
+    neg = (bits >> 31).astype(bool)
+    return trunc + (inexact & ~neg).astype(np.uint32)
+
+
+def pack_nl5(nl8: np.ndarray) -> np.ndarray:
+    """Compress an nl8 table to (8N, 5): bf16 AABB pairs + the two links.
+
+    Columns 0-2 each hold two bf16 halves (value-preserving in the high 16
+    bits of an f32): [min.x|min.y, min.z|max.x, max.y|max.z]. min is rounded
+    toward -inf, max toward +inf, so every bf16 box contains its f32 box.
+    Columns 3-4 are the accept/cancel bit patterns unchanged.
+    """
+    nl8 = np.asarray(nl8, f32)
+    lo = _round_bf16_down(nl8[:, 0:3])   # min.xyz
+    hi = _round_bf16_up(nl8[:, 3:6])     # max.xyz
+    six = np.concatenate([lo, hi], axis=1)  # minx miny minz maxx maxy maxz
+    out = np.zeros((len(nl8), 5), f32)
+    packed = (six[:, 0::2] << 16) | six[:, 1::2]
+    out[:, 0:3] = packed.view(f32)
+    out[:, 3:5] = nl8[:, 6:8]
+    return out
+
+
+def with_bf16_nodes(scene: "SceneDevice") -> "SceneDevice":
+    """Returns a copy of the scene with the compressed node table attached."""
+    return scene._replace(nl5=jnp.asarray(pack_nl5(np.asarray(scene.nl8))))
 
 
 def _instance_rows(instances):

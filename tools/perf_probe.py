@@ -67,6 +67,52 @@ def bench_gather():
     )
 
 
+def bench_row_width():
+    """Does row-gather cost scale with row width W?
+
+    Decides the bf16-AABB experiment (BENCH_NOTES lever 5): nl8 rows are
+    32 B; bf16-packing the AABB shrinks them to 20 B (W=5).  If gather time
+    is flat in W (latency-bound) the compression buys nothing; if it scales
+    with bytes, implement it.  Also measures the unpack cost: a (N,5) row
+    whose first 3 floats carry 6 packed bf16 halves, expanded to 6 f32 via
+    bit ops — the exact unpack the traversal step would run.
+    """
+    print("== row-gather width scaling ==")
+    N, R = 1 << 18, 1 << 20
+    idx = jnp.asarray(np.random.default_rng(0).integers(0, N, R), jnp.int32)
+    for W in (4, 5, 8, 12, 16, 32):
+        table = jnp.zeros((N, W), jnp.float32)
+
+        @jax.jit
+        def g(t, i):
+            return t[i].sum(axis=1)
+
+        dt = timeit(g, table, idx)
+        print(
+            f"(256K,{W:2d}) x 1M rows: {dt*1e3:6.2f} ms "
+            f"=> {R*W*4/dt/1e9:7.2f} GB/s ({dt/R*1e9:.2f} ns/row)"
+        )
+
+    # bf16-packed row: gather (N,5), unpack 3 packed f32 -> 6 bf16 -> f32
+    table5 = jnp.zeros((N, 5), jnp.float32)
+
+    @jax.jit
+    def g_unpack(t, i):
+        row = t[i]
+        bits = jax.lax.bitcast_convert_type(row[:, 0:3], jnp.uint32)
+        hi = jax.lax.bitcast_convert_type(bits & np.uint32(0xFFFF0000), jnp.float32)
+        lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+        return (
+            hi.sum(axis=1) + lo.sum(axis=1) + row[:, 3] + row[:, 4]
+        )
+
+    dt = timeit(g_unpack, table5, idx)
+    print(
+        f"(256K, 5)+bf16 unpack    : {dt*1e3:6.2f} ms "
+        f"=> {R*20/dt/1e9:7.2f} GB/s effective ({dt/R*1e9:.2f} ns/row)"
+    )
+
+
 def bench_traversal():
     print("== traversal ==")
     from pathtracing_tpu.ops.traversal import ray_query
@@ -141,6 +187,7 @@ def bench_iteration_counts():
 def main():
     print("devices:", jax.devices())
     bench_gather()
+    bench_row_width()
     bench_traversal()
     bench_iteration_counts()
 

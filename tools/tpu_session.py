@@ -69,6 +69,19 @@ def main():
         dt = timeit(fn, org, d)
         print(f"XLA traversal R={R}: {dt*1e3:.1f} ms = {R/dt/1e6:.2f} Mrays/s")
 
+        # bf16-compressed node rows (20 B vs 32 B on the hottest gather)
+        from pathtracing_tpu.scene.device import with_bf16_nodes
+
+        scene5 = with_bf16_nodes(scene)
+        fn5 = jax.jit(
+            lambda o, dd: ray_query(scene5, tlc, tlo, o, dd, 0.0, 1e9, act)[0].thit
+        )
+        dt5 = timeit(fn5, org, d)
+        print(
+            f"XLA traversal R={R} bf16 nodes: {dt5*1e3:.1f} ms "
+            f"= {R/dt5/1e6:.2f} Mrays/s ({dt/dt5:.2f}x)"
+        )
+
         if R == 65536:
             # two-speed / compaction tuning sweep (closest-hit + any-hit)
             for anyhit in (False, True):
