@@ -113,6 +113,92 @@ def bench_row_width():
     )
 
 
+def bench_step_decomposition():
+    """Decompose while_loop step cost: fixed overhead vs gather vs compute.
+
+    Three loops at traversal-like lane counts, 64 iterations each:
+      empty   — carry-increment body            => fixed per-step overhead
+      gather  — one (N,8) row gather per step    => + memory cost
+      slab    — gather + slab test + link follow => + compute cost
+    The deltas tell which resource the real traversal step is bound by,
+    which picks the next optimization (BENCH_NOTES decision tree): fixed
+    => fewer/fatter steps (speculative cancel-chains), memory => bf16 rows
+    (ready, flag-gated), compute => cursor-state slimming / lower K.
+    """
+    print("== step decomposition (64 iters) ==")
+    N = 1 << 18
+    ITERS = 64
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((N, 8)), jnp.float32)
+
+    for R in (65536, 262144):
+        idx0 = jnp.asarray(rng.integers(0, N, R), jnp.int32)
+
+        @jax.jit
+        def empty(i0):
+            def body(c):
+                i, acc = c
+                return i + 1, acc + i
+
+            return jax.lax.while_loop(
+                lambda c: c[0] < ITERS, body, (jnp.int32(0), i0)
+            )[1]
+
+        @jax.jit
+        def gather(i0):
+            def body(c):
+                i, ix = c
+                row = table[ix]
+                nix = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32) & (N - 1)
+                return i + 1, nix
+
+            return jax.lax.while_loop(
+                lambda c: c[0] < ITERS, body, (jnp.int32(0), i0)
+            )[1]
+
+        @jax.jit
+        def slab(i0):
+            def body(c):
+                i, ix, tmax = c
+                row = table[ix]
+                t0 = row[:, 0:3] * 0.5 - 1.0
+                t1 = row[:, 3:6] * 0.5 + 1.0
+                near = jnp.fmax(
+                    jnp.fmin(t0[:, 0], t1[:, 0]),
+                    jnp.fmax(
+                        jnp.fmin(t0[:, 1], t1[:, 1]),
+                        jnp.fmin(t0[:, 2], t1[:, 2]),
+                    ),
+                )
+                far = jnp.fmin(
+                    jnp.fmax(t0[:, 0], t1[:, 0]),
+                    jnp.fmin(
+                        jnp.fmax(t0[:, 1], t1[:, 1]),
+                        jnp.fmax(t0[:, 2], t1[:, 2]),
+                    ),
+                )
+                hit = (near <= far) & (far > 0.0) & (near < tmax)
+                a = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+                cxl = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+                nix = jnp.where(hit, a, cxl) & (N - 1)
+                return i + 1, nix, jnp.where(hit, far, tmax)
+
+            return jax.lax.while_loop(
+                lambda c: c[0] < ITERS,
+                body,
+                (jnp.int32(0), i0, jnp.full(R, 1e9, jnp.float32)),
+            )[1]
+
+        te = timeit(empty, idx0) / ITERS
+        tg = timeit(gather, idx0) / ITERS
+        ts = timeit(slab, idx0) / ITERS
+        print(
+            f"R={R}: empty {te*1e6:7.1f} us/step | +gather "
+            f"{(tg-te)*1e6:7.1f} | +slab {(ts-tg)*1e6:7.1f} "
+            f"(total {ts*1e6:.1f} us/step, {ts/R*1e9:.2f} ns/lane)"
+        )
+
+
 def bench_traversal():
     print("== traversal ==")
     from pathtracing_tpu.ops.traversal import ray_query
@@ -188,6 +274,7 @@ def main():
     print("devices:", jax.devices())
     bench_gather()
     bench_row_width()
+    bench_step_decomposition()
     bench_traversal()
     bench_iteration_counts()
 
