@@ -68,6 +68,26 @@ def main():
         load_golden(str(_REPO / "tests" / "golden" / "scene.gold"))
     )
 
+    # tuning knobs (results are bit-identical under all of these; see
+    # ops/traversal.py docstrings) so a TPU measurement session can A/B
+    # without code edits: PT_LEAF_EVERY=<int|none>, PT_COMPACT_SCHEDULE=
+    # "32:4,16:2", PT_BF16_NODES=1
+    from pathtracing_tpu.ops import traversal as _trav
+
+    v = os.environ.get("PT_LEAF_EVERY")
+    if v:
+        _trav.DEFAULT_LEAF_EVERY = None if v == "none" else int(v)
+    v = os.environ.get("PT_COMPACT_SCHEDULE")
+    if v:
+        _trav.DEFAULT_COMPACT_SCHEDULE = tuple(
+            (int(a), int(b))
+            for a, b in (stage.split(":") for stage in v.split(","))
+        )
+    if os.environ.get("PT_BF16_NODES") == "1":
+        from pathtracing_tpu.scene.device import with_bf16_nodes
+
+        scene = with_bf16_nodes(scene)
+
     W, H = TESTING.image_width, TESTING.image_height
     spp = 8
     idx = np.arange(W * H, dtype=np.int32)
