@@ -212,7 +212,7 @@ def ray_query(
     max_steps: int | None = None,
     return_state: bool = False,
     compact_after: int | None = 32,
-    compact_div: int = 4,
+    compact_div: int = -1,
     leaf_every: int | None = -1,
     compact_schedule: tuple | None = None,
 ):
@@ -228,7 +228,8 @@ def ray_query(
     Returns (RayHit, occluded).
 
     Convergence-skew mitigation: after ``compact_after`` full-batch steps,
-    unfinished rays are partition-compacted into a 1/compact_div prefix and
+    unfinished rays are partition-compacted into a 1/compact_div prefix
+    (``compact_div=-1`` — the default — picks 4, or 8 for large scenes) and
     finish there at 1/compact_div the per-step cost; a final full-batch
     pass mops up any stragglers that did not fit (usually zero steps).
     ``compact_schedule`` generalizes this to nested stages
@@ -248,10 +249,19 @@ def ray_query(
     candidate order is unchanged.  ``leaf_every=-1`` (default) means "use
     ``DEFAULT_LEAF_EVERY``"; ``None``/1 disables.
     """
+    # Scene-scale-adaptive defaults. Node count is static under jit, so this
+    # is a trace-time constant. Large scenes (the full animated scene:
+    # ~600k nodes, instance-heavy, deep BLAS descents — measured step
+    # quantiles p50=128/p100=752 vs the golden scene's p50=16) favor a
+    # longer two-speed period and stronger compaction; every choice here is
+    # bit-identical (tests/test_traversal_twospeed.py, test_traversal_bf16).
+    large_scene = (scene.nl8.shape[0] // 8) > LARGE_SCENE_NODES
     if leaf_every == -1:
-        leaf_every = DEFAULT_LEAF_EVERY
+        leaf_every = DEFAULT_LEAF_EVERY_LARGE if large_scene else DEFAULT_LEAF_EVERY
     if leaf_every is not None and leaf_every <= 1:
         leaf_every = None
+    if compact_div == -1:
+        compact_div = 8 if large_scene else 4
     # Traversal is discrete: gradients flow through the *recomputed* hit
     # (integrator.trace_ray re-derives u/v/t differentiably from the hit
     # ids), never through the search itself.
@@ -409,6 +419,13 @@ DEFAULT_COMPACT_SCHEDULE: tuple | None = None
 # collapses (freeze waste).  Re-tune on TPU with tools/perf_probe.py /
 # tools/tpu_session.py when the chip is reachable.
 DEFAULT_LEAF_EVERY: int | None = 8
+
+# Large-scene variants (chosen when the packed node table exceeds
+# LARGE_SCENE_NODES): deep BLAS descents lower the leaf density, favoring
+# a longer cheap-step run; CPU full-scene sweep optimum K=16 with
+# compact_div=8 (tools/stress_probe.py, 2026-08-17). Re-tune on TPU.
+DEFAULT_LEAF_EVERY_LARGE: int | None = 16
+LARGE_SCENE_NODES: int = 100_000
 
 
 def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None):
