@@ -83,6 +83,9 @@ def main():
             (int(a), int(b))
             for a, b in (stage.split(":") for stage in v.split(","))
         )
+    v = os.environ.get("PT_MID_ENTRY")
+    if v:
+        _trav.DEFAULT_MID_ENTRY = v == "1"
     if os.environ.get("PT_BF16_NODES") == "1":
         from pathtracing_tpu.scene.device import with_bf16_nodes
 

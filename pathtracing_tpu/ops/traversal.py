@@ -215,6 +215,7 @@ def ray_query(
     compact_div: int = -1,
     leaf_every: int | None = -1,
     compact_schedule: tuple | None = None,
+    mid_entry: bool | None = None,
 ):
     """Trace a batch of rays to completion.
 
@@ -248,6 +249,14 @@ def ray_query(
     candidates are rejected by the strict ``t < tmax`` confirm), and per-lane
     candidate order is unchanged.  ``leaf_every=-1`` (default) means "use
     ``DEFAULT_LEAF_EVERY``"; ``None``/1 disables.
+
+    ``mid_entry=True`` upgrades the cheap step to a BLAS-entry-capable one
+    (_mid_step): TLAS-leaf lanes with an empty pending slot descend into the
+    BLAS immediately instead of freezing until the next full step — two
+    extra instance-row gathers per step buy back ~K/2 frozen iterations per
+    BLAS entry, which dominates on instance-heavy scenes (measured ~10
+    entries/ray on the full animated scene).  Bit-identical either way.
+    ``None`` (default) = use ``DEFAULT_MID_ENTRY`` ("auto" = large scenes).
     """
     # Scene-scale-adaptive defaults. Node count is static under jit, so this
     # is a trace-time constant. Large scenes (the full animated scene:
@@ -262,6 +271,11 @@ def ray_query(
         leaf_every = None
     if compact_div == -1:
         compact_div = 8 if large_scene else 4
+    if mid_entry is None:
+        mid_entry = (
+            large_scene if DEFAULT_MID_ENTRY == "auto" else bool(DEFAULT_MID_ENTRY)
+        )
+    mid_entry = mid_entry and leaf_every is not None
     # Traversal is discrete: gradients flow through the *recomputed* hit
     # (integrator.trace_ray re-derives u/v/t differentiably from the hit
     # ids), never through the search itself.
@@ -304,11 +318,12 @@ def ray_query(
 
     if max_steps is None and compact_schedule:
         final = _run_compacted(
-            scene, state, consts, tmin, anyhit, leaf_every, tuple(compact_schedule)
+            scene, state, consts, tmin, anyhit, leaf_every,
+            tuple(compact_schedule), mid_entry=mid_entry,
         )
     else:
         final = _run_loop(scene, state, consts, tmin, anyhit, max_steps,
-                          leaf_every=leaf_every)
+                          leaf_every=leaf_every, mid_entry=mid_entry)
 
     if return_state:
         return final
@@ -385,27 +400,29 @@ def _partition_not_done(done):
     )
 
 
-def _run_compacted(scene, state, consts, tmin, anyhit, leaf_every, schedule):
+def _run_compacted(scene, state, consts, tmin, anyhit, leaf_every, schedule,
+                   mid_entry=False):
     """Drain with nested prefix compaction (see ray_query docstring)."""
     R_ = state.done.shape[0]
     if not schedule or R_ // schedule[0][1] < 1024:
         return _run_loop(scene, state, consts, tmin, anyhit, None,
-                         leaf_every=leaf_every)
+                         leaf_every=leaf_every, mid_entry=mid_entry)
     (after, div), rest = schedule[0], schedule[1:]
     state = _run_loop(scene, state, consts, tmin, anyhit, after,
-                      leaf_every=leaf_every)
+                      leaf_every=leaf_every, mid_entry=mid_entry)
     take = _partition_not_done(state.done)[: R_ // div]
     sub = jax.tree.map(lambda a: a[take], state)
     consts_s = jax.tree.map(lambda a: a[take], consts)
     anyhit_s = anyhit if isinstance(anyhit, bool) else anyhit[take]
     tmin_s = tmin if tmin.ndim == 0 else tmin[take]
     sub = _run_compacted(
-        scene, sub, consts_s, tmin_s, anyhit_s, leaf_every, rest
+        scene, sub, consts_s, tmin_s, anyhit_s, leaf_every, rest,
+        mid_entry=mid_entry,
     )
     state = jax.tree.map(lambda full, part: full.at[take].set(part), state, sub)
     # mop-up: zero iterations unless more than R/div lanes were unfinished
     return _run_loop(scene, state, consts, tmin, anyhit, None,
-                     leaf_every=leaf_every)
+                     leaf_every=leaf_every, mid_entry=mid_entry)
 
 
 # Multi-stage compaction override for ray_query(compact_schedule=None);
@@ -427,8 +444,17 @@ DEFAULT_LEAF_EVERY: int | None = 8
 DEFAULT_LEAF_EVERY_LARGE: int | None = 16
 LARGE_SCENE_NODES: int = 100_000
 
+# Default for ray_query(mid_entry=None): the entry-capable cheap step.
+# "auto" = enable on large (instance-heavy) scenes only. CPU-measured
+# (full scene, frame 900, 131k lanes): the two extra instance-row gathers
+# per step cost ~2x, MORE than the saved TLAS-leaf freezes => default False.
+# On TPU row gathers are ~40x cheaper relative to compute — re-tune there
+# (tools/tpu_session.py sweeps it; PT_MID_ENTRY=1 for bench.py).
+DEFAULT_MID_ENTRY: str | bool = False
 
-def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None):
+
+def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None,
+              mid_entry=False):
     def cond(carry):
         s, step = carry
         alive = jnp.any(jnp.logical_not(s.done))
@@ -449,13 +475,14 @@ def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None):
             s = _full_step(scene, s, consts, tmin, anyhit)
         else:
             is_full = (step % leaf_every) == (leaf_every - 1)
+            cheap_fn = _mid_step if mid_entry else _cheap_step
             s = jax.lax.cond(
                 is_full,
                 lambda st: _full_step(
                     scene, _flush_pending(scene, st, tmin, anyhit),
                     consts, tmin, anyhit,
                 ),
-                lambda st: _cheap_step(scene, st, consts, tmin),
+                lambda st: cheap_fn(scene, st, consts, tmin),
                 s,
             )
         return s, step + 1
@@ -513,6 +540,113 @@ def _cheap_step(scene, s, consts, tmin):
     return s._replace(
         t_node=t_node, b_node=b_node, p_prim=p_prim, done=done, in_blas=in_blas
     )
+
+
+def _enter_fields(scene, consts, enter, payload):
+    """BLAS-entry computation (reference: ray_query.hh:153-182) for the mid
+    (entry-capable) step; mirrors _full_step's inline entry block. Returns
+    the per-lane values to select into the BLAS context where ``enter``
+    holds."""
+    org, d = consts.org, consts.d
+    iidx = jnp.where(enter, payload, 0)
+    fi = scene.inst_f[iidx]  # (R, 21): inv cols (12) + rot (9)
+    ui = scene.inst_u[iidx]  # (R, 6)
+    bo = Vec3(
+        fi[:, 0] * org.x + fi[:, 3] * org.y + fi[:, 6] * org.z + fi[:, 9],
+        fi[:, 1] * org.x + fi[:, 4] * org.y + fi[:, 7] * org.z + fi[:, 10],
+        fi[:, 2] * org.x + fi[:, 5] * org.y + fi[:, 8] * org.z + fi[:, 11],
+    )
+    bd = Vec3(
+        fi[:, 0] * d.x + fi[:, 3] * d.y + fi[:, 6] * d.z,
+        fi[:, 1] * d.x + fi[:, 4] * d.y + fi[:, 7] * d.z,
+        fi[:, 2] * d.x + fi[:, 5] * d.y + fi[:, 8] * d.z,
+    )
+    binv = _safe_inv(bd)
+    boct = _octant(bd)
+    baxis, bS = _tri_preprocess(bd)
+    blink = ui[:, 1] * 8 + boct * ui[:, 0]
+    return bo, binv, bS, baxis, blink, ui[:, 0], ui[:, 4]
+
+
+def _apply_enter(s, enter, payload, bo, binv, bS, baxis, blink, bcount, mtri):
+    """Select the entry values into the state for ``enter`` lanes."""
+    def upd(old, new):
+        return jnp.where(enter, new, old)
+
+    return s._replace(
+        in_blas=s.in_blas | enter,
+        b_node=jnp.where(enter, 0, s.b_node),
+        b_count=upd(s.b_count, bcount),
+        b_link_offset=upd(s.b_link_offset, blink),
+        b_org_x=upd(s.b_org_x, bo.x), b_org_y=upd(s.b_org_y, bo.y),
+        b_org_z=upd(s.b_org_z, bo.z),
+        b_inv_x=upd(s.b_inv_x, binv.x), b_inv_y=upd(s.b_inv_y, binv.y),
+        b_inv_z=upd(s.b_inv_z, binv.z),
+        b_S_x=upd(s.b_S_x, bS.x), b_S_y=upd(s.b_S_y, bS.y),
+        b_S_z=upd(s.b_S_z, bS.z),
+        b_axis=upd(s.b_axis, baxis),
+        m_tri_offset=upd(s.m_tri_offset, mtri),
+        cand_inst=upd(s.cand_inst, payload),
+    )
+
+
+def _mid_step(scene, s, consts, tmin):
+    """Cheap step that can also ENTER a BLAS (three-speed middle gear).
+
+    Identical to _cheap_step except TLAS-leaf lanes with an empty pending
+    slot descend into the BLAS immediately (exactly what the one-speed loop
+    does) instead of freezing until the next full step. Lanes with a parked
+    triangle candidate still freeze — the pending flush needs the lane's
+    current BLAS context. Triangle tests stay deferred, so per-lane
+    candidate order is unchanged and results remain bit-identical.
+    """
+    tlas_count = consts.tlas_count
+    count = jnp.where(s.in_blas, s.b_count, tlas_count)
+    node_idx = jnp.where(s.in_blas, s.b_node, s.t_node)
+    link_off = jnp.where(s.in_blas, s.b_link_offset, consts.t_link_offset)
+
+    in_range = (node_idx >= 0) & (node_idx < count)
+    valid = in_range & jnp.logical_not(s.done)
+    exhausted = jnp.logical_not(in_range) & jnp.logical_not(s.done)
+    done = s.done | (exhausted & jnp.logical_not(s.in_blas))
+    in_blas = s.in_blas & jnp.logical_not(exhausted)
+    valid = valid & jnp.logical_not(exhausted)
+
+    lidx = jnp.where(valid, link_off + node_idx, 0)
+    nmin, nmax, accept, cancel = _read_node(scene, lidx)
+
+    o = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), consts.org)
+    inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), consts.t_inv)
+
+    hit = _slab_hit(nmin, nmax, o, inv, tmin, s.tmax)
+    is_leaf = accept < 0
+    payload = accept & _LEAF_MASK
+
+    leaf_hit = valid & hit & is_leaf
+    tri_leaf = leaf_hit & in_blas
+    tlas_leaf = leaf_hit & jnp.logical_not(in_blas)
+    can_defer = tri_leaf & (s.p_prim < 0)
+    enter = tlas_leaf & (s.p_prim < 0)
+    # any leaf while a candidate is parked freezes: the pending flush
+    # needs the lane's current BLAS context intact
+    freeze = leaf_hit & jnp.logical_not(can_defer | enter)
+    advance = valid & jnp.logical_not(freeze)
+
+    next_idx = jnp.where(hit & jnp.logical_not(is_leaf), accept, cancel)
+    # entering lanes resume the TLAS past the leaf via its cancel link
+    # when the BLAS pops (reference: ray_query.hh:262-268 continuation)
+    t_node = jnp.where(
+        advance & jnp.logical_not(in_blas), next_idx, s.t_node
+    )
+    b_node = jnp.where(advance & in_blas & jnp.logical_not(enter), next_idx, s.b_node)
+    p_prim = jnp.where(can_defer, payload, s.p_prim)
+
+    s = s._replace(
+        t_node=t_node, b_node=b_node, p_prim=p_prim, done=done,
+        in_blas=in_blas,
+    )
+    fields = _enter_fields(scene, consts, enter, payload)
+    return _apply_enter(s, enter, payload, *fields)
 
 
 def _flush_pending(scene, s, tmin, anyhit):

@@ -107,3 +107,30 @@ def test_twospeed_matches_random_scene(seed):
         base = ray_query(*args, anyhit=anyhit, leaf_every=None)
         two = ray_query(*args, anyhit=anyhit, leaf_every=4)
         _assert_hits_equal(base, two)
+        mid = ray_query(*args, anyhit=anyhit, leaf_every=4, mid_entry=True)
+        _assert_hits_equal(base, mid)
+
+
+@pytest.mark.parametrize("anyhit", [False, True])
+@pytest.mark.parametrize("compact_after", [None, 32])
+def test_mid_entry_matches_golden_scene(anyhit, compact_after, golden_dir):
+    """The entry-capable cheap step (mid_entry=True) is a pure scheduling
+    change: TLAS-leaf lanes descend immediately instead of freezing, but
+    per-lane candidate order is unchanged — results must be bit-identical."""
+    sg = load_golden(str(golden_dir / "scene.gold"))
+    rg = load_golden(str(golden_dir / "rays.gold"))
+    scene = scene_device_from_golden(sg)
+    R = len(rg["origins"])
+    tlc = jnp.full(R, int(sg["tlas"][0]), jnp.int32)
+    tlo = jnp.full(R, int(sg["tlas"][1]), jnp.int32)
+    org = Vec3(*(jnp.asarray(rg["origins"][:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(rg["dirs"][:, i]) for i in range(3)))
+    act = jnp.ones(R, bool)
+
+    args = (scene, tlc, tlo, org, d, 0.0, 1e9, act)
+    base = ray_query(*args, anyhit=anyhit, compact_after=compact_after,
+                     leaf_every=None)
+    for K in (2, 8, 12):
+        mid = ray_query(*args, anyhit=anyhit, compact_after=compact_after,
+                        leaf_every=K, mid_entry=True)
+        _assert_hits_equal(base, mid)

@@ -145,12 +145,14 @@ def main():
     if args.quick:
         return
 
-    for le in (None, 4, 8, 12, 16):
+    for le, mid in ((None, False), (4, False), (8, False), (12, False),
+                    (16, False), (8, True), (16, True), (24, True)):
         for sched in (((32, 4),), ((32, 8),), ((16, 2), (16, 4))):
             run(
                 scene,
-                f"K={str(le):>4} sched={sched}",
+                f"K={str(le):>4} mid={int(mid)} sched={sched}",
                 leaf_every=le,
+                mid_entry=mid,
                 compact_schedule=sched,
             )
     # iteration-count distribution on this ray set
