@@ -86,6 +86,9 @@ def main():
     v = os.environ.get("PT_MID_ENTRY")
     if v:
         _trav.DEFAULT_MID_ENTRY = v == "1"
+    v = os.environ.get("PT_UNROLL")
+    if v:
+        _trav.DEFAULT_UNROLL = v == "1"
     if os.environ.get("PT_BF16_NODES") == "1":
         from pathtracing_tpu.scene.device import with_bf16_nodes
 

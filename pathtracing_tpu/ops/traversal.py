@@ -216,6 +216,7 @@ def ray_query(
     leaf_every: int | None = -1,
     compact_schedule: tuple | None = None,
     mid_entry: bool | None = None,
+    unroll: bool | None = None,
 ):
     """Trace a batch of rays to completion.
 
@@ -257,6 +258,11 @@ def ray_query(
     BLAS entry, which dominates on instance-heavy scenes (measured ~10
     entries/ray on the full animated scene).  Bit-identical either way.
     ``None`` (default) = use ``DEFAULT_MID_ENTRY`` ("auto" = large scenes).
+
+    ``unroll=True`` lays the whole K-step two-speed period out statically
+    inside one while_loop iteration (K-1 cheap steps, pending flush, full
+    step), removing the per-step lax.cond dispatch; bit-identical.
+    ``None`` = ``DEFAULT_UNROLL``.
     """
     # Scene-scale-adaptive defaults. Node count is static under jit, so this
     # is a trace-time constant. Large scenes (the full animated scene:
@@ -319,11 +325,12 @@ def ray_query(
     if max_steps is None and compact_schedule:
         final = _run_compacted(
             scene, state, consts, tmin, anyhit, leaf_every,
-            tuple(compact_schedule), mid_entry=mid_entry,
+            tuple(compact_schedule), mid_entry=mid_entry, unroll=unroll,
         )
     else:
         final = _run_loop(scene, state, consts, tmin, anyhit, max_steps,
-                          leaf_every=leaf_every, mid_entry=mid_entry)
+                          leaf_every=leaf_every, mid_entry=mid_entry,
+                          unroll=unroll)
 
     if return_state:
         return final
@@ -401,15 +408,17 @@ def _partition_not_done(done):
 
 
 def _run_compacted(scene, state, consts, tmin, anyhit, leaf_every, schedule,
-                   mid_entry=False):
+                   mid_entry=False, unroll=None):
     """Drain with nested prefix compaction (see ray_query docstring)."""
     R_ = state.done.shape[0]
     if not schedule or R_ // schedule[0][1] < 1024:
         return _run_loop(scene, state, consts, tmin, anyhit, None,
-                         leaf_every=leaf_every, mid_entry=mid_entry)
+                         leaf_every=leaf_every, mid_entry=mid_entry,
+                         unroll=unroll)
     (after, div), rest = schedule[0], schedule[1:]
     state = _run_loop(scene, state, consts, tmin, anyhit, after,
-                      leaf_every=leaf_every, mid_entry=mid_entry)
+                      leaf_every=leaf_every, mid_entry=mid_entry,
+                      unroll=unroll)
     take = _partition_not_done(state.done)[: R_ // div]
     sub = jax.tree.map(lambda a: a[take], state)
     consts_s = jax.tree.map(lambda a: a[take], consts)
@@ -417,12 +426,13 @@ def _run_compacted(scene, state, consts, tmin, anyhit, leaf_every, schedule,
     tmin_s = tmin if tmin.ndim == 0 else tmin[take]
     sub = _run_compacted(
         scene, sub, consts_s, tmin_s, anyhit_s, leaf_every, rest,
-        mid_entry=mid_entry,
+        mid_entry=mid_entry, unroll=unroll,
     )
     state = jax.tree.map(lambda full, part: full.at[take].set(part), state, sub)
     # mop-up: zero iterations unless more than R/div lanes were unfinished
     return _run_loop(scene, state, consts, tmin, anyhit, None,
-                     leaf_every=leaf_every, mid_entry=mid_entry)
+                     leaf_every=leaf_every, mid_entry=mid_entry,
+                     unroll=unroll)
 
 
 # Multi-stage compaction override for ray_query(compact_schedule=None);
@@ -444,6 +454,12 @@ DEFAULT_LEAF_EVERY: int | None = 8
 DEFAULT_LEAF_EVERY_LARGE: int | None = 16
 LARGE_SCENE_NODES: int = 100_000
 
+# Default for _run_loop(unroll=None): unroll the whole two-speed period
+# (K-1 cheap + flush + full) into one while_loop iteration — kills the
+# per-step lax.cond dispatch and checks the loop condition once per period.
+# Bit-identical. Tune on CPU/TPU; compile size grows ~Kx in the loop body.
+DEFAULT_UNROLL: bool = False
+
 # Default for ray_query(mid_entry=None): the entry-capable cheap step.
 # "auto" = enable on large (instance-heavy) scenes only. CPU-measured
 # (full scene, frame 900, 131k lanes): the two extra instance-row gathers
@@ -454,7 +470,15 @@ DEFAULT_MID_ENTRY: str | bool = False
 
 
 def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None,
-              mid_entry=False):
+              mid_entry=False, unroll=None):
+    if unroll is None:
+        unroll = DEFAULT_UNROLL
+    if unroll and leaf_every is not None:
+        return _run_loop_unrolled(
+            scene, state, consts, tmin, anyhit, max_steps, leaf_every,
+            mid_entry,
+        )
+
     def cond(carry):
         s, step = carry
         alive = jnp.any(jnp.logical_not(s.done))
@@ -492,6 +516,47 @@ def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None,
     # caller either continues the loop with this state (compaction) or calls
     # _flush_pending itself (ray_query's max_steps path). Unbounded runs
     # always drain pendings in-loop (see cond).
+    return final
+
+
+def _run_loop_unrolled(scene, state, consts, tmin, anyhit, max_steps,
+                       leaf_every, mid_entry):
+    """Two-speed loop with the whole K-step period unrolled into one
+    while_loop iteration: K-1 cheap steps then flush+full, statically laid
+    out. Removes the per-step lax.cond dispatch and evaluates the loop
+    condition once per period instead of per step. Results are bit-identical
+    to the per-step loop: the step schedule within a period is the same, and
+    steps on all-done state are no-ops (at most K-1 wasted no-op steps per
+    drain, paid once per batch, not per ray). Each period ends with a full
+    step, so no pending candidate survives an iteration — but the ENTRY
+    state may carry pendings on done lanes (a lane can exhaust its TLAS with
+    a candidate parked, e.g. in a bounded pre-compaction run), so the cond
+    keeps the pending term to force at least one flushing period then."""
+    cheap_fn = _mid_step if mid_entry else _cheap_step
+    # ceil so a bounded run executes at least max_steps steps (schedules are
+    # result-invariant; only the period phase matters for perf, not bits)
+    max_blocks = None if max_steps is None else -(-max_steps // leaf_every)
+
+    def cond(carry):
+        s, blocks = carry
+        alive = jnp.logical_or(
+            jnp.any(jnp.logical_not(s.done)), jnp.any(s.p_prim >= 0)
+        )
+        if max_blocks is None:
+            return alive
+        return jnp.logical_and(alive, blocks < max_blocks)
+
+    def body(carry):
+        s, blocks = carry
+        for _ in range(leaf_every - 1):
+            s = cheap_fn(scene, s, consts, tmin)
+        s = _full_step(
+            scene, _flush_pending(scene, s, tmin, anyhit), consts, tmin,
+            anyhit,
+        )
+        return s, blocks + 1
+
+    final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
     return final
 
 

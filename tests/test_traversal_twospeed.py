@@ -134,3 +134,28 @@ def test_mid_entry_matches_golden_scene(anyhit, compact_after, golden_dir):
         mid = ray_query(*args, anyhit=anyhit, compact_after=compact_after,
                         leaf_every=K, mid_entry=True)
         _assert_hits_equal(base, mid)
+
+
+@pytest.mark.parametrize("anyhit", [False, True])
+@pytest.mark.parametrize("mid_entry", [False, True])
+def test_unrolled_matches_golden_scene(anyhit, mid_entry, golden_dir):
+    """unroll=True lays the K-step period out statically in one while_loop
+    iteration — a pure scheduling change, results must be bit-identical,
+    with and without compaction stages."""
+    sg = load_golden(str(golden_dir / "scene.gold"))
+    rg = load_golden(str(golden_dir / "rays.gold"))
+    scene = scene_device_from_golden(sg)
+    R = len(rg["origins"])
+    tlc = jnp.full(R, int(sg["tlas"][0]), jnp.int32)
+    tlo = jnp.full(R, int(sg["tlas"][1]), jnp.int32)
+    org = Vec3(*(jnp.asarray(rg["origins"][:, i]) for i in range(3)))
+    d = Vec3(*(jnp.asarray(rg["dirs"][:, i]) for i in range(3)))
+    act = jnp.ones(R, bool)
+
+    args = (scene, tlc, tlo, org, d, 0.0, 1e9, act)
+    base = ray_query(*args, anyhit=anyhit, leaf_every=None)
+    for compact_after in (None, 32):
+        for K in (4, 8):
+            unr = ray_query(*args, anyhit=anyhit, compact_after=compact_after,
+                            leaf_every=K, mid_entry=mid_entry, unroll=True)
+            _assert_hits_equal(base, unr)

@@ -145,14 +145,19 @@ def main():
     if args.quick:
         return
 
-    for le, mid in ((None, False), (4, False), (8, False), (12, False),
-                    (16, False), (8, True), (16, True), (24, True)):
+    for le, mid, unr in (
+        (None, False, False), (4, False, False), (8, False, False),
+        (12, False, False), (16, False, False), (8, True, False),
+        (16, True, False), (24, True, False), (16, False, True),
+        (16, True, True),
+    ):
         for sched in (((32, 4),), ((32, 8),), ((16, 2), (16, 4))):
             run(
                 scene,
-                f"K={str(le):>4} mid={int(mid)} sched={sched}",
+                f"K={str(le):>4} mid={int(mid)} unr={int(unr)} sched={sched}",
                 leaf_every=le,
                 mid_entry=mid,
+                unroll=unr,
                 compact_schedule=sched,
             )
     # iteration-count distribution on this ray set

@@ -85,23 +85,28 @@ def main():
         if R == 65536:
             # two-speed / compaction tuning sweep (closest-hit + any-hit)
             for anyhit in (False, True):
-                for le, mid in (
-                    (None, False), (4, False), (8, False), (12, False),
-                    (16, False), (8, True), (12, True), (16, True),
+                for le, mid, unr in (
+                    (None, False, False), (4, False, False),
+                    (8, False, False), (12, False, False),
+                    (16, False, False), (8, True, False), (12, True, False),
+                    (16, True, False), (8, False, True), (12, False, True),
+                    (8, True, True),
                 ):
                     for sched in (((32, 4),), ((32, 8),), ((48, 8),),
                                   ((16, 2), (16, 4)), ((16, 2), (32, 4))):
                         f = jax.jit(
-                            lambda o, dd, le=le, m=mid, s=sched: ray_query(
+                            lambda o, dd, le=le, m=mid, u=unr, s=sched:
+                            ray_query(
                                 scene, tlc, tlo, o, dd, 0.0, 1e9, act,
                                 anyhit=anyhit, leaf_every=le, mid_entry=m,
-                                compact_schedule=s,
+                                unroll=u, compact_schedule=s,
                             )[1 if anyhit else 0]
                         )
                         dt = timeit(f, org, d)
                         print(
                             f"  sweep anyhit={int(anyhit)} K={le} "
-                            f"mid={int(mid)} sched={sched}: {dt*1e3:.1f} ms "
+                            f"mid={int(mid)} unroll={int(unr)} "
+                            f"sched={sched}: {dt*1e3:.1f} ms "
                             f"= {R/dt/1e6:.2f} Mrays/s"
                         )
 
