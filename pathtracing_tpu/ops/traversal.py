@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pathtracing_tpu.tuning import get_tuning as _get_tuning
 from pathtracing_tpu.utils.vec import Vec3, cross, dot3, fabs3, where3
 
 Array = Any
@@ -271,17 +272,27 @@ def ray_query(
     # longer two-speed period and stronger compaction; every choice here is
     # bit-identical (tests/test_traversal_twospeed.py, test_traversal_bf16).
     large_scene = (scene.nl8.shape[0] // 8) > LARGE_SCENE_NODES
+    tuned = _get_tuning(
+        jax.default_backend(), "large" if large_scene else "small"
+    )
     if leaf_every == -1:
-        leaf_every = DEFAULT_LEAF_EVERY_LARGE if large_scene else DEFAULT_LEAF_EVERY
+        le = DEFAULT_LEAF_EVERY_LARGE if large_scene else DEFAULT_LEAF_EVERY
+        leaf_every = tuned["leaf_every"] if le == "auto" else le
     if leaf_every is not None and leaf_every <= 1:
         leaf_every = None
     if compact_div == -1:
-        compact_div = 8 if large_scene else 4
+        compact_div = tuned["compact_div"]
     if mid_entry is None:
         mid_entry = (
-            large_scene if DEFAULT_MID_ENTRY == "auto" else bool(DEFAULT_MID_ENTRY)
+            tuned["mid_entry"]
+            if DEFAULT_MID_ENTRY == "auto"
+            else bool(DEFAULT_MID_ENTRY)
         )
     mid_entry = mid_entry and leaf_every is not None
+    if unroll is None:
+        unroll = (
+            tuned["unroll"] if DEFAULT_UNROLL == "auto" else bool(DEFAULT_UNROLL)
+        )
     # Traversal is discrete: gradients flow through the *recomputed* hit
     # (integrator.trace_ray re-derives u/v/t differentiably from the hit
     # ids), never through the search itself.
@@ -441,38 +452,39 @@ DEFAULT_COMPACT_SCHEDULE: tuple | None = None
 
 # Default two-speed period for ray_query(leaf_every=-1); module-level so perf
 # tooling can flip it globally (re-jit picks it up).  None = one-speed loop.
-# CPU-measured optimum: K=12 on pure traversal batches, K=8 end-to-end
-# under the merged shadow+bounce drains (higher leaf density); K=16
-# collapses (freeze waste).  Re-tune on TPU with tools/perf_probe.py /
-# tools/tpu_session.py when the chip is reachable.
-DEFAULT_LEAF_EVERY: int | None = 8
+# "auto" = consult the per-platform tuning table (pathtracing_tpu/tuning.py;
+# CPU rows: K=8 small / K=16 large, measured — K=12 optimal on pure
+# traversal batches but 8 wins end-to-end under merged shadow+bounce
+# drains; K=16 collapses on small scenes from freeze waste).
+DEFAULT_LEAF_EVERY: str | int | None = "auto"
 
-# Large-scene variants (chosen when the packed node table exceeds
+# Large-scene variant (chosen when the packed node table exceeds
 # LARGE_SCENE_NODES): deep BLAS descents lower the leaf density, favoring
-# a longer cheap-step run; CPU full-scene sweep optimum K=16 with
-# compact_div=8 (tools/stress_probe.py, 2026-08-17). Re-tune on TPU.
-DEFAULT_LEAF_EVERY_LARGE: int | None = 16
+# a longer cheap-step run (tuning-table CPU row: K=16, compact_div=8,
+# tools/stress_probe.py 2026-08-17).
+DEFAULT_LEAF_EVERY_LARGE: str | int | None = "auto"
 LARGE_SCENE_NODES: int = 100_000
 
-# Default for _run_loop(unroll=None): unroll the whole two-speed period
+# Default for ray_query(unroll=None): unroll the whole two-speed period
 # (K-1 cheap + flush + full) into one while_loop iteration — kills the
 # per-step lax.cond dispatch and checks the loop condition once per period.
-# Bit-identical. Tune on CPU/TPU; compile size grows ~Kx in the loop body.
-DEFAULT_UNROLL: bool = False
+# Bit-identical. Compile size grows ~Kx in the loop body. "auto" = consult
+# the per-platform tuning table (pathtracing_tpu/tuning.py).
+DEFAULT_UNROLL: str | bool = "auto"
 
 # Default for ray_query(mid_entry=None): the entry-capable cheap step.
-# "auto" = enable on large (instance-heavy) scenes only. CPU-measured
-# (full scene, frame 900, 131k lanes): the two extra instance-row gathers
-# per step cost ~2x, MORE than the saved TLAS-leaf freezes => default False.
-# On TPU row gathers are ~40x cheaper relative to compute — re-tune there
-# (tools/tpu_session.py sweeps it; PT_MID_ENTRY=1 for bench.py).
-DEFAULT_MID_ENTRY: str | bool = False
+# CPU-measured (full scene, frame 900, 131k lanes): the two extra
+# instance-row gathers per step cost ~2x, MORE than the saved TLAS-leaf
+# freezes => off in the CPU tuning rows. On TPU row gathers are ~40x
+# cheaper relative to compute — re-tune there (tools/tpu_session.py
+# sweeps it; PT_MID_ENTRY=1 for bench.py). "auto" = tuning table.
+DEFAULT_MID_ENTRY: str | bool = "auto"
 
 
 def _run_loop(scene, state, consts, tmin, anyhit, max_steps, leaf_every=None,
               mid_entry=False, unroll=None):
-    if unroll is None:
-        unroll = DEFAULT_UNROLL
+    # ray_query resolves "auto"s before calling; a bare None here (direct
+    # callers, e.g. the Pallas kernel body) means the per-step loop
     if unroll and leaf_every is not None:
         return _run_loop_unrolled(
             scene, state, consts, tmin, anyhit, max_steps, leaf_every,

@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--quick", action="store_true", help="skip the sweep")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
+        "--record",
+        action="store_true",
+        help="persist the sweep winner as the platform's large-scene "
+        "tuning row (pathtracing_tpu/tuned.json)",
+    )
+    ap.add_argument(
         "--split",
         action="store_true",
         help="only measure the TLAS/BLAS step split + iteration quantiles "
@@ -145,6 +151,7 @@ def main():
     if args.quick:
         return
 
+    sweep = {}
     for le, mid, unr in (
         (None, False, False), (4, False, False), (8, False, False),
         (12, False, False), (16, False, False), (8, True, False),
@@ -152,7 +159,7 @@ def main():
         (16, True, True),
     ):
         for sched in (((32, 4),), ((32, 8),), ((16, 2), (16, 4))):
-            run(
+            sweep[(le, mid, unr, sched)] = run(
                 scene,
                 f"K={str(le):>4} mid={int(mid)} unr={int(unr)} sched={sched}",
                 leaf_every=le,
@@ -160,6 +167,19 @@ def main():
                 unroll=unr,
                 compact_schedule=sched,
             )
+    (le, mid, unr, sched), best_dt = min(sweep.items(), key=lambda kv: kv[1])
+    print(
+        f"sweep winner: K={le} mid={int(mid)} unr={int(unr)} sched={sched} "
+        f"({best_dt*1e3:.1f} ms)"
+    )
+    if args.record:
+        from pathtracing_tpu.tuning import record_tuning
+
+        knobs = dict(leaf_every=le, mid_entry=mid, unroll=unr)
+        if len(sched) == 1:
+            knobs["compact_div"] = sched[0][1]
+        path = record_tuning(jax.default_backend(), "large", **knobs)
+        print(f"recorded -> {path}")
     # iteration-count distribution on this ray set
     from pathtracing_tpu.ops.traversal import ray_query as rq
 

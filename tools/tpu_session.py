@@ -3,9 +3,13 @@
 
 Order: health check, perf probe (gathers/traversal/iterations), Pallas
 lowering probe, golden-frame render + PSNR, bench. Prints a summary that
-can be pasted into memory/BENCH notes.
+can be pasted into memory/BENCH notes, and — unless --no-record — writes
+the winning small-scene knob config to pathtracing_tpu/tuned.json
+(tuning.record_tuning) so production defaults pick it up. Output is
+flushed line-by-line: if the tunnel dies mid-run, partial results survive.
 """
 
+import functools
 import subprocess
 import sys
 import time
@@ -15,8 +19,17 @@ REPO = pathlib.Path(__file__).parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
+print = functools.partial(print, flush=True)
+
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--no-record", action="store_true",
+                    help="don't write the sweep winner to tuned.json")
+    args = ap.parse_args()
+
     import numpy as np
 
     t0 = time.perf_counter()
@@ -84,6 +97,7 @@ def main():
 
         if R == 65536:
             # two-speed / compaction tuning sweep (closest-hit + any-hit)
+            sweep = {}
             for anyhit in (False, True):
                 for le, mid, unr in (
                     (None, False, False), (4, False, False),
@@ -103,12 +117,33 @@ def main():
                             )[1 if anyhit else 0]
                         )
                         dt = timeit(f, org, d)
+                        key = (le, mid, unr, sched)
+                        sweep[key] = sweep.get(key, 0.0) + dt
                         print(
                             f"  sweep anyhit={int(anyhit)} K={le} "
                             f"mid={int(mid)} unroll={int(unr)} "
                             f"sched={sched}: {dt*1e3:.1f} ms "
                             f"= {R/dt/1e6:.2f} Mrays/s"
                         )
+            # winner = lowest closest+anyhit total; persist so production
+            # defaults (tuning.get_tuning) pick it up on this platform
+            (le, mid, unr, sched), best_dt = min(
+                sweep.items(), key=lambda kv: kv[1]
+            )
+            print(
+                f"  sweep winner: K={le} mid={int(mid)} unroll={int(unr)} "
+                f"sched={sched} ({best_dt*1e3:.1f} ms combined)"
+            )
+            if not args.no_record:
+                from pathtracing_tpu.tuning import record_tuning
+
+                knobs = dict(
+                    leaf_every=le, mid_entry=mid, unroll=unr,
+                )
+                if len(sched) == 1:
+                    knobs["compact_div"] = sched[0][1]
+                path = record_tuning("tpu", "small", **knobs)
+                print(f"  recorded -> {path}")
 
         if R == 65536:
             try:
