@@ -50,13 +50,14 @@ Array = Any
 class _SceneTabs:
     """Duck-typed view with just the fields _run_loop touches."""
 
-    __slots__ = ("nl8", "tri_pos", "inst_f", "inst_u")
+    __slots__ = ("nl8", "tri_pos", "inst_f", "inst_u", "nl5")
 
     def __init__(self, nl8, tri_pos, inst_f, inst_u):
         self.nl8 = nl8
         self.tri_pos = tri_pos
         self.inst_f = inst_f
         self.inst_u = inst_u
+        self.nl5 = None  # bf16 rows are an HBM-bandwidth lever; VMEM kernel reads f32
 
 
 def _kernel(

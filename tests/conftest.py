@@ -33,6 +33,21 @@ REFERENCE_DATA = pathlib.Path(
 ) / "data"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at module boundaries.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in one
+    process; past ~70 tests the next big compile segfaults inside
+    backend_compile (LLVM JIT state pathology — reproduced twice at the
+    same test, passes in isolation). Modules are self-contained
+    compilation-wise, so clearing between them costs little and keeps the
+    one-process suite stable.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def golden_dir():
     return GOLDEN_DIR
