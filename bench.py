@@ -71,7 +71,8 @@ def main():
     # tuning knobs (results are bit-identical under all of these; see
     # ops/traversal.py docstrings) so a TPU measurement session can A/B
     # without code edits: PT_LEAF_EVERY=<int|none>, PT_COMPACT_SCHEDULE=
-    # "32:4,16:2", PT_BF16_NODES=1
+    # "32:4,16:2", PT_BF16_NODES=1, PT_MID_ENTRY=1, PT_UNROLL=1,
+    # PT_TILE=<pixels per wavefront tile; default 32768>
     from pathtracing_tpu.ops import traversal as _trav
 
     v = os.environ.get("PT_LEAF_EVERY")
@@ -93,6 +94,7 @@ def main():
         from pathtracing_tpu.scene.device import with_bf16_nodes
 
         scene = with_bf16_nodes(scene)
+    tile_pixels = int(os.environ.get("PT_TILE", 1 << 15))
 
     W, H = TESTING.image_width, TESTING.image_height
     spp = 8
@@ -128,10 +130,12 @@ def main():
         return
 
     # warmup/compile on a tile
-    render_pixels(TESTING, scene, xs[: 1 << 15], ys[: 1 << 15], spp=spp, wavefront=True)
+    render_pixels(TESTING, scene, xs[:tile_pixels], ys[:tile_pixels], spp=spp,
+                  tile_pixels=tile_pixels, wavefront=True)
 
     t0 = time.perf_counter()
-    colors = render_pixels(TESTING, scene, xs, ys, spp=spp, wavefront=True)
+    colors = render_pixels(TESTING, scene, xs, ys, spp=spp,
+                           tile_pixels=tile_pixels, wavefront=True)
     dt = time.perf_counter() - t0
     assert np.isfinite(colors).all()
 

@@ -46,18 +46,28 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "unroll": False,
         },
     },
+    # TPU rows are PRIORS from the offline v5e model (tools/step_cost.py:
+    # pre-fusion op-byte weights cheap 1.0 / flush 1.07 / mid 2.9 / full 4.0)
+    # plus the measured v5e characteristics (row gathers ~865 GB/s; large
+    # per-while-iteration dispatch cost): unroll=True removes the per-step
+    # lax.cond dispatch and checks the loop condition once per period;
+    # mid_entry=True on large scenes spends two cheap row gathers per step
+    # to avoid ~K/2 frozen iterations per BLAS entry (~10 entries/ray on
+    # the full animated scene). All combos AOT-lower for v5e
+    # (tools/aot_check.py). An on-chip sweep (tools/tpu_session.py
+    # --record) overwrites these via tuned.json.
     "tpu": {
         "small": {
             "leaf_every": 8,
             "compact_div": 4,
             "mid_entry": False,
-            "unroll": False,
+            "unroll": True,
         },
         "large": {
             "leaf_every": 16,
             "compact_div": 8,
-            "mid_entry": False,
-            "unroll": False,
+            "mid_entry": True,
+            "unroll": True,
         },
     },
 }

@@ -117,6 +117,24 @@ def main():
         out.write_text(ctrav.as_text())
         print(f"  (optimized HLO -> {out})")
 
+    # tuning-knob combos: every schedule the tuning table may select must
+    # lower for the real TPU target (they are only CPU-tested in CI)
+    for le, mid, unr in ((8, False, True), (16, True, True), (16, True, False)):
+        check(
+            f"traversal K={le} mid={int(mid)} unroll={int(unr)}",
+            lambda le=le, mid=mid, unr=unr: jax.jit(
+                lambda sc, ox, oy, oz, dx, dy, dz: ray_query(
+                    sc,
+                    jnp.full(n, int(sg["tlas"][0]), jnp.int32),
+                    jnp.full(n, int(sg["tlas"][1]), jnp.int32),
+                    Vec3(ox, oy, oz), Vec3(dx, dy, dz),
+                    0.0, 1e9, jnp.ones(n, bool),
+                    leaf_every=le, mid_entry=mid, unroll=unr,
+                )[0].thit,
+                out_shardings=sh,
+            ).lower(scene_specs, fv, fv, fv, fv, fv, fv).compile(),
+        )
+
     # multi-chip sharded render over the full topology
     n_dev = len(topo.devices)
     meshN = Mesh(np.array(topo.devices).reshape(n_dev // 2, 2), ("tiles", "samples"))

@@ -28,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--no-record", action="store_true",
                     help="don't write the sweep winner to tuned.json")
+    ap.add_argument("--fast", action="store_true",
+                    help="pruned sweep grid (~4x fewer compiles) for a "
+                    "fragile tunnel")
     args = ap.parse_args()
 
     import numpy as np
@@ -96,18 +99,25 @@ def main():
         )
 
         if R == 65536:
-            # two-speed / compaction tuning sweep (closest-hit + any-hit)
+            # two-speed / compaction tuning sweep (closest-hit + any-hit).
+            # Ordered most-promising-first (offline v5e prior: unroll on,
+            # K=8; see tuning.py BUILTIN comments) so a tunnel death
+            # mid-sweep still leaves the best candidates measured.
+            combos = (
+                (8, False, True), (8, True, True), (12, False, True),
+                (16, False, True), (8, False, False), (None, False, False),
+                (4, False, False), (12, False, False), (16, False, False),
+                (8, True, False), (12, True, False), (16, True, False),
+            )
+            scheds = (((32, 4),), ((32, 8),), ((48, 8),),
+                      ((16, 2), (16, 4)), ((16, 2), (32, 4)))
+            if args.fast:
+                combos = combos[:4] + ((None, False, False),)
+                scheds = (((32, 4),), ((32, 8),), ((16, 2), (32, 4)))
             sweep = {}
             for anyhit in (False, True):
-                for le, mid, unr in (
-                    (None, False, False), (4, False, False),
-                    (8, False, False), (12, False, False),
-                    (16, False, False), (8, True, False), (12, True, False),
-                    (16, True, False), (8, False, True), (12, False, True),
-                    (8, True, True),
-                ):
-                    for sched in (((32, 4),), ((32, 8),), ((48, 8),),
-                                  ((16, 2), (16, 4)), ((16, 2), (32, 4))):
+                for le, mid, unr in combos:
+                    for sched in scheds:
                         f = jax.jit(
                             lambda o, dd, le=le, m=mid, u=unr, s=sched:
                             ray_query(
