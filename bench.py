@@ -94,7 +94,10 @@ def main():
         from pathtracing_tpu.scene.device import with_bf16_nodes
 
         scene = with_bf16_nodes(scene)
-    tile_pixels = int(os.environ.get("PT_TILE", 1 << 15))
+    from pathtracing_tpu.render import default_tile_pixels
+
+    v = os.environ.get("PT_TILE")
+    tile_pixels = int(v) if v else default_tile_pixels(scene)
 
     W, H = TESTING.image_width, TESTING.image_height
     spp = 8

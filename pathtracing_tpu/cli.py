@@ -28,7 +28,10 @@ def main(argv=None):
     ap.add_argument("--out", default="output")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--resume", action="store_true", help="skip existing frames")
-    ap.add_argument("--tile-pixels", type=int, default=1 << 15)
+    ap.add_argument(
+        "--tile-pixels", type=int, default=None,
+        help="pixels per wavefront tile (default: platform tuning table)",
+    )
     ap.add_argument(
         "--sample-range",
         type=int,
@@ -67,6 +70,13 @@ def main(argv=None):
 
     if args.merge:
         return merge_partials(args)
+
+    # Survive a wedged TPU tunnel: probe in a subprocess, fall back to CPU
+    # (touching a dead axon backend in-process hangs forever; CLAUDE.md).
+    from pathtracing_tpu.utils.platform import ensure_backend
+
+    backend = ensure_backend()
+    print(f"backend: {backend}", flush=True)
 
     from pathtracing_tpu.config import PRODUCTION, TESTING
     from pathtracing_tpu.io.bmp import write_bmp

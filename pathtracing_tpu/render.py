@@ -57,13 +57,31 @@ def _render_tile(config: RenderConfig, scene, xs, ys, spp: int, sample_base=0):
     return r, g, b
 
 
+def default_tile_pixels(scene) -> int:
+    """Platform-resolved wavefront tile size (pathtracing_tpu/tuning.py).
+
+    CPU optimum is cache-bound (~32k pixels measured); TPU wants much
+    larger tiles to amortize per-while-iteration dispatch and give
+    compaction a bigger population.
+    """
+    from pathtracing_tpu.ops.traversal import LARGE_SCENE_NODES
+    from pathtracing_tpu.tuning import get_tuning
+
+    large = (scene.nl8.shape[0] // 8) > LARGE_SCENE_NODES
+    return int(
+        get_tuning(jax.default_backend(), "large" if large else "small")[
+            "tile_pixels"
+        ]
+    )
+
+
 def render_pixels(
     config: RenderConfig,
     scene,
     xs: np.ndarray,
     ys: np.ndarray,
     spp: int | None = None,
-    tile_pixels: int = 1 << 15,
+    tile_pixels: int | None = None,
     sample_base: int = 0,
     average: bool = True,
     wavefront: bool = False,
@@ -75,8 +93,11 @@ def render_pixels(
     wavefront=True uses the path-regeneration kernel (1.25x on CPU, see
     ops/wavefront.py); per-sample semantics are identical up to chaotic
     boundary paths, so checkpoint partials remain mergeable.
+    tile_pixels=None resolves per platform via the tuning table.
     """
     spp = spp or config.samples_per_pixel
+    if tile_pixels is None:
+        tile_pixels = default_tile_pixels(scene)
     n = len(xs)
     out = np.empty((n, 3), np.float32)
     # dispatch every tile before forcing any result: JAX dispatch is async,
@@ -113,7 +134,7 @@ def render_frame(
     config: RenderConfig,
     scene,
     spp: int | None = None,
-    tile_pixels: int = 1 << 15,
+    tile_pixels: int | None = None,
     wavefront: bool = False,
 ):
     """Render a full frame; returns (colors (H,W,3) f32, image (H,W,4) u8 BGRA)."""

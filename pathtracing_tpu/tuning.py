@@ -27,7 +27,7 @@ import pathlib
 from functools import lru_cache
 from typing import Any
 
-KNOBS = ("leaf_every", "compact_div", "mid_entry", "unroll")
+KNOBS = ("leaf_every", "compact_div", "mid_entry", "unroll", "tile_pixels")
 
 # Builtin fallbacks. CPU rows measured (BENCH_NOTES.md); any unknown
 # platform falls back to the "cpu" rows.
@@ -38,12 +38,14 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "compact_div": 4,
             "mid_entry": False,
             "unroll": False,
+            "tile_pixels": 1 << 15,  # cache-bound optimum (BENCH_NOTES)
         },
         "large": {
             "leaf_every": 16,
             "compact_div": 8,
             "mid_entry": False,
             "unroll": False,
+            "tile_pixels": 1 << 15,
         },
     },
     # TPU rows are PRIORS from the offline v5e model (tools/step_cost.py:
@@ -62,12 +64,16 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "compact_div": 4,
             "mid_entry": False,
             "unroll": True,
+            # amortize per-iteration dispatch; compaction works better on
+            # a larger population (prior, sweep on chip)
+            "tile_pixels": 1 << 17,
         },
         "large": {
             "leaf_every": 16,
             "compact_div": 8,
             "mid_entry": True,
             "unroll": True,
+            "tile_pixels": 1 << 17,
         },
     },
 }

@@ -179,6 +179,24 @@ def main():
     dt = time.perf_counter() - t0
     print(f"golden frame steady: {dt:.1f}s = {W*H*8/dt/1e6:.2f} Msamples/s")
 
+    # wavefront tile-size A/B (e2e, the bench.py path); records the winner
+    best = (None, 1e30)
+    for tp in (1 << 15, 1 << 16, 1 << 17, 1 << 18):
+        render_pixels(TESTING, scene, idx % W, idx // W, spp=8,
+                      tile_pixels=tp, wavefront=True)  # compile
+        t0 = time.perf_counter()
+        render_pixels(TESTING, scene, idx % W, idx // W, spp=8,
+                      tile_pixels=tp, wavefront=True)
+        dt = time.perf_counter() - t0
+        print(f"  wavefront tile={tp}: {dt:.1f}s = {W*H*8/dt/1e6:.2f} Msamples/s")
+        if dt < best[1]:
+            best = (tp, dt)
+    if not args.no_record and best[0] is not None:
+        from pathtracing_tpu.tuning import record_tuning
+
+        record_tuning("tpu", "small", tile_pixels=best[0])
+        print(f"  recorded tile_pixels={best[0]}")
+
     ref = load_golden(str(REPO / "tests/golden/render8.gold"))["colors"]
     rel = np.abs(colors.reshape(H, W, 3) - ref) / (np.abs(ref) + 1e-3)
     print(f"vs oracle: q98 rel={np.quantile(rel, 0.98):.2e}")
