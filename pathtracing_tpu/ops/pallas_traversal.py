@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 
 from pathtracing_tpu.ops.traversal import (
     RayHit,
+    _finalize_hit,
     _run_loop,
     init_state,
     make_consts,
@@ -84,12 +85,13 @@ def _kernel(
         leaf_every=leaf_every,
     )
 
-    thit_ref[...] = final.c_thit
-    u_ref[...] = final.c_u
-    v_ref[...] = final.c_v
-    inst_ref[...] = final.c_inst
-    prim_ref[...] = final.c_prim
-    back_ref[...] = final.c_back.astype(jnp.int32)
+    hit = _finalize_hit(tabs, consts, final)
+    thit_ref[...] = hit.thit
+    u_ref[...] = hit.bary_u
+    v_ref[...] = hit.bary_v
+    inst_ref[...] = hit.inst
+    prim_ref[...] = hit.prim
+    back_ref[...] = hit.back.astype(jnp.int32)
     occ_ref[...] = final.occluded.astype(jnp.int32)
 
 

@@ -137,13 +137,13 @@ class _TravState(NamedTuple):
     done: Array
     tmax: Array
     occluded: Array
-    # closest hit
-    c_thit: Array
-    c_u: Array
-    c_v: Array
+    # closest hit: ids only. thit needs no slot of its own — every closest
+    # confirm writes the same value into tmax (reference:
+    # ray_query.hh:289), so final thit == tmax bit-exactly; (u, v, back)
+    # are re-derived from the ids by one post-drain triangle test
+    # (_finalize_hit) instead of riding the loop carry for every step.
     c_inst: Array
     c_prim: Array
-    c_back: Array
 
 
 def _slab_hit(nmin: Vec3, nmax: Vec3, org: Vec3, inv: Vec3, tmin, tmax):
@@ -350,16 +350,55 @@ def ray_query(
         # bounded run: pending candidates never met an in-loop full step
         final = _flush_pending(scene, final, tmin, anyhit)
 
-    hit = RayHit(
-        thit=final.c_thit,
-        bary_u=final.c_u,
-        bary_v=final.c_v,
-        bary_w=1.0 - final.c_u - final.c_v,
-        inst=final.c_inst,
-        prim=final.c_prim,
-        back=final.c_back,
+    return _finalize_hit(scene, consts, final), final.occluded
+
+
+def _finalize_hit(scene, consts, s: "_TravState") -> RayHit:
+    """Materialize the RayHit from the slim carry (ids + tmax).
+
+    thit is exactly tmax for hit lanes (every closest confirm wrote the
+    same tt into both, reference: ray_query.hh:289). (u, v, back) are
+    re-derived by one triangle test from the hit ids — the same
+    fixed-topology recomputation the integrator's shade_hit performs
+    (identical formulas; only kernel-fusion ulps can differ from the
+    in-loop values, which sits inside every consumer's tolerance).
+    """
+    hitm = s.c_inst >= 0
+    iidx = jnp.where(hitm, s.c_inst, 0)
+    fi = scene.inst_f[iidx]
+    ui = scene.inst_u[iidx]
+    org, d = consts.org, consts.d
+    bo = Vec3(
+        fi[:, 0] * org.x + fi[:, 3] * org.y + fi[:, 6] * org.z + fi[:, 9],
+        fi[:, 1] * org.x + fi[:, 4] * org.y + fi[:, 7] * org.z + fi[:, 10],
+        fi[:, 2] * org.x + fi[:, 5] * org.y + fi[:, 8] * org.z + fi[:, 11],
     )
-    return hit, final.occluded
+    bd = Vec3(
+        fi[:, 0] * d.x + fi[:, 3] * d.y + fi[:, 6] * d.z,
+        fi[:, 1] * d.x + fi[:, 4] * d.y + fi[:, 7] * d.z,
+        fi[:, 2] * d.x + fi[:, 5] * d.y + fi[:, 8] * d.z,
+    )
+    baxis, bS = _tri_preprocess(bd)
+    tri_row = jnp.where(hitm, ui[:, 4] + s.c_prim, 0)
+    tp = scene.tri_pos[tri_row]
+    _, tu, tv, _, tback = _tri_intersect(
+        bo, baxis, bS,
+        Vec3(tp[:, 0], tp[:, 1], tp[:, 2]),
+        Vec3(tp[:, 3], tp[:, 4], tp[:, 5]),
+        Vec3(tp[:, 6], tp[:, 7], tp[:, 8]),
+    )
+    zero = jnp.zeros_like(s.tmax)
+    tu = jnp.where(hitm, tu, zero)
+    tv = jnp.where(hitm, tv, zero)
+    return RayHit(
+        thit=jnp.where(hitm, s.tmax, -1.0),
+        bary_u=tu,
+        bary_v=tv,
+        bary_w=1.0 - tu - tv,
+        inst=s.c_inst,
+        prim=jnp.where(hitm, s.c_prim, 0),
+        back=hitm & tback,
+    )
 
 
 
@@ -384,11 +423,8 @@ def init_state(R, active, tmax0) -> _TravState:
         done=jnp.logical_not(active),
         tmax=tmax0,
         occluded=jnp.zeros(R, bool),
-        c_thit=f32(-1.0),
-        c_u=f32(0), c_v=f32(0),
         c_inst=i32(-1),
         c_prim=i32(0),
-        c_back=jnp.zeros(R, bool),
     )
 
 
@@ -761,12 +797,8 @@ def _flush_pending(scene, s, tmin, anyhit):
     return s._replace(
         occluded=s.occluded | cfm_any,
         done=s.done | cfm_any,
-        c_thit=jnp.where(cfm_cl, tt, s.c_thit),
-        c_u=jnp.where(cfm_cl, tu, s.c_u),
-        c_v=jnp.where(cfm_cl, tv, s.c_v),
         c_inst=jnp.where(cfm_cl, s.cand_inst, s.c_inst),
         c_prim=jnp.where(cfm_cl, s.p_prim, s.c_prim),
-        c_back=jnp.where(cfm_cl, tback, s.c_back),
         tmax=jnp.where(cfm_cl, tt, s.tmax),
         p_prim=jnp.where(pend, -1, s.p_prim),
     )
@@ -857,8 +889,7 @@ def _full_step(scene, s, consts, tmin, anyhit):
     if anyhit is True:
         occluded = s.occluded | confirmed
         done = done | confirmed
-        c_thit, c_u, c_v = s.c_thit, s.c_u, s.c_v
-        c_inst, c_prim, c_back = s.c_inst, s.c_prim, s.c_back
+        c_inst, c_prim = s.c_inst, s.c_prim
         tmax = s.tmax
     else:
         # confirm every candidate (reference: path_tracer.hh:346-349,
@@ -872,12 +903,8 @@ def _full_step(scene, s, consts, tmin, anyhit):
             cfm_cl = confirmed & jnp.logical_not(anyhit)
         occluded = s.occluded | cfm_any
         done = done | cfm_any
-        c_thit = jnp.where(cfm_cl, tt, s.c_thit)
-        c_u = jnp.where(cfm_cl, tu, s.c_u)
-        c_v = jnp.where(cfm_cl, tv, s.c_v)
         c_inst = jnp.where(cfm_cl, cand_inst, s.c_inst)
         c_prim = jnp.where(cfm_cl, payload, s.c_prim)
-        c_back = jnp.where(cfm_cl, tback, s.c_back)
         tmax = jnp.where(cfm_cl, tt, s.tmax)
 
     new_state = _TravState(
@@ -896,11 +923,7 @@ def _full_step(scene, s, consts, tmin, anyhit):
         done=done,
         tmax=tmax,
         occluded=occluded,
-        c_thit=c_thit,
-        c_u=c_u,
-        c_v=c_v,
         c_inst=c_inst,
         c_prim=c_prim,
-        c_back=c_back,
     )
     return new_state
