@@ -199,6 +199,41 @@ def bench_step_decomposition():
         )
 
 
+def bench_carry_bandwidth():
+    """Does a while_loop carry round-trip HBM per iteration?
+
+    Times a loop whose body only touches C carry arrays of R lanes
+    (x[i] += 1), for growing C. If time/iter scales ~linearly with C at
+    the HBM rate (R*C*4*2 bytes read+write), carries are HBM-streamed and
+    carry slimming is the lever; if it plateaus near zero, carries are
+    VMEM/register-resident and per-iteration dispatch dominates instead.
+    """
+    print("== while-loop carry bandwidth ==")
+    R = 1 << 18
+    iters = 64
+    for C in (2, 8, 16, 32):
+        arrs = tuple(jnp.zeros(R, jnp.float32) + i for i in range(C))
+
+        @jax.jit
+        def run(arrs):
+            def body(carry):
+                step, xs = carry
+                return step + 1, tuple(x + 1.0 for x in xs)
+
+            def cond(carry):
+                return carry[0] < iters
+
+            _, xs = jax.lax.while_loop(cond, body, (jnp.int32(0), arrs))
+            return xs[0]
+
+        dt = timeit(run, arrs)
+        bytes_rt = R * C * 4 * 2 * iters
+        print(
+            f"  C={C:3d} carry={C*4:4d} B/lane: {dt/iters*1e6:8.1f} us/iter "
+            f"=> {bytes_rt/dt/1e9:7.1f} GB/s effective"
+        )
+
+
 def bench_traversal():
     print("== traversal ==")
     from pathtracing_tpu.ops.traversal import ray_query
@@ -274,6 +309,7 @@ def main():
     print("devices:", jax.devices())
     bench_gather()
     bench_row_width()
+    bench_carry_bandwidth()
     bench_step_decomposition()
     bench_traversal()
     bench_iteration_counts()
