@@ -350,6 +350,16 @@ def ray_query(
         # bounded run: pending candidates never met an in-loop full step
         final = _flush_pending(scene, final, tmin, anyhit)
 
+    if anyhit is True:
+        # pure occlusion drain: no closest hit exists to materialize
+        # (reference: path_tracer.hh:415-427 discards the candidate)
+        zero = jnp.zeros_like(final.tmax)
+        hit = RayHit(
+            thit=zero - 1.0, bary_u=zero, bary_v=zero,
+            bary_w=1.0 - zero, inst=final.c_inst, prim=final.c_prim,
+            back=jnp.zeros_like(final.done),
+        )
+        return hit, final.occluded
     return _finalize_hit(scene, consts, final), final.occluded
 
 
