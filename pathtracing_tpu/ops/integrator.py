@@ -262,17 +262,12 @@ def nee_finish(
     return where3(live, color, Vec3(zero, zero, zero))
 
 
-def path_trace_samples(
-    config: RenderConfig,
-    scene,
-    xs: Array,
-    ys: Array,
-    sample_index: Array,
-) -> Vec3:
-    """One radiance sample per lane (reference: path_tracer.hh:637-741).
+def camera_sample(config: RenderConfig, scene, xs, ys, sample_index):
+    """Seed warm-up, film/aperture draw, and camera ray for one sample per
+    lane (reference: path_tracer.hh:655-672). Shared by the integrator and
+    the AOV renderer so their RNG streams and primary rays agree exactly.
 
-    xs, ys: pixel coordinates (int32); sample_index: int32 (negative =>
-    subframe 0, reference: path_tracer.hh:655-657).
+    Returns (seed, subframe, light, tlas_count, tlas_offset, ray_o, ray_dir).
     """
     subframe = jnp.where(
         sample_index < 0,
@@ -303,14 +298,32 @@ def path_trace_samples(
     ray_dir, ray_o = get_camera_ray(
         cam, Vec2(u.z, u.w), coord, config.image_width, config.image_height
     )
+    return seed, subframe, light, tlas_count, tlas_offset, ray_o, ray_dir
+
+
+def path_trace_samples(
+    config: RenderConfig,
+    scene,
+    xs: Array,
+    ys: Array,
+    sample_index: Array,
+) -> Vec3:
+    """One radiance sample per lane (reference: path_tracer.hh:637-741).
+
+    xs, ys: pixel coordinates (int32); sample_index: int32 (negative =>
+    subframe 0, reference: path_tracer.hh:655-657).
+    """
+    seed, subframe, light, tlas_count, tlas_offset, ray_o, ray_dir = (
+        camera_sample(config, scene, xs, ys, sample_index)
+    )
 
     all_active = jnp.ones_like(xs, dtype=bool)
     info = trace_ray(
         scene, light, tlas_count, tlas_offset, ray_o, ray_dir, 0.0, all_active
     )
 
-    one = jnp.ones_like(coord.x)
-    zero = jnp.zeros_like(coord.x)
+    one = jnp.ones_like(ray_dir.x)
+    zero = jnp.zeros_like(ray_dir.x)
     attenuation = Vec3(one, one, one)
     contribution = Vec3(zero, zero, zero)
 
