@@ -70,6 +70,7 @@ class _WfState(NamedTuple):
     ray_dir: Vec3
     cur: Vec3              # current sample's radiance (folded into acc at death)
     acc: Vec3              # per-pixel sums over completed samples
+    acc_l2: Array          # per-pixel sums of luminance^2 (variance stats)
     tlas_count: Array
     tlas_offset: Array
     light: LightParams
@@ -82,12 +83,16 @@ def path_trace_wavefront(
     ys: Array,
     spp: int,
     sample_base: int = 0,
+    with_stats: bool = False,
 ):
     """Per-pixel radiance sums over samples [sample_base, sample_base+spp).
 
     xs/ys: flat pixel coordinates, one lane per pixel. Returns Vec3 of sums
     (divide by spp for the average), identical semantics to summing
-    path_trace_samples over the same sample range.
+    path_trace_samples over the same sample range. with_stats=True returns
+    (sums, lum2) where lum2 is the per-pixel sum of squared per-sample
+    luminance — what adaptive sampling's variance pass needs
+    (pathtracing_tpu/adaptive.py) at wavefront speed.
     """
     R = xs.shape[0]
     i32 = lambda v: jnp.full(R, v, jnp.int32)
@@ -127,6 +132,7 @@ def path_trace_wavefront(
         ray_dir=Vec3(fz, fz, jnp.ones(R, jnp.float32)),
         cur=v0,
         acc=v0,
+        acc_l2=fz,
         tlas_count=i32(1),
         tlas_offset=i32(0),
         light=LightParams(
@@ -287,6 +293,8 @@ def path_trace_wavefront(
         path_live = live & (new_info.thit > 0) & (bounce_i <= config.max_bounces)
         died = live & jnp.logical_not(path_live)
         acc = s.acc + where3(died, cur, Vec3(zero, zero, zero))
+        lum = f32(0.2126) * cur.x + f32(0.7152) * cur.y + f32(0.0722) * cur.z
+        acc_l2 = s.acc_l2 + jnp.where(died, lum * lum, zero)
         cur = where3(died, Vec3(zero, zero, zero), cur)
 
         return _WfState(
@@ -302,10 +310,13 @@ def path_trace_wavefront(
             ray_dir=ray_dir,
             cur=cur,
             acc=acc,
+            acc_l2=acc_l2,
             tlas_count=tlas_count,
             tlas_offset=tlas_offset,
             light=light,
         )
 
     final = jax.lax.while_loop(cond, body, state)
+    if with_stats:
+        return final.acc, final.acc_l2
     return final.acc
