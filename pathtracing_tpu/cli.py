@@ -66,6 +66,21 @@ def main(argv=None):
         action="store_true",
         help="shard each frame over all local devices (tiles axis)",
     )
+    ap.add_argument(
+        "--adaptive",
+        type=int,
+        default=None,
+        metavar="BASE_SPP",
+        help="variance-guided adaptive sampling: uniform BASE_SPP pass, "
+        "then allocate the remaining (spp - BASE_SPP) x pixels budget "
+        "where the luminance variance is (pathtracing_tpu/adaptive.py)",
+    )
+    ap.add_argument(
+        "--aovs",
+        action="store_true",
+        help="also write frame_NNNN.aovs.npz (albedo/normal/depth/coverage "
+        "primary-hit buffers, pathtracing_tpu/aov.py)",
+    )
     args = ap.parse_args(argv)
 
     if args.merge:
@@ -196,10 +211,52 @@ def main(argv=None):
                     [np.asarray(bb), np.asarray(gg), np.asarray(rr), np.asarray(aa)],
                     -1,
                 )
+            elif args.adaptive is not None:
+                import jax
+                import jax.numpy as jnp
+
+                from pathtracing_tpu.adaptive import render_adaptive
+                from pathtracing_tpu.ops.tonemap import tonemap
+                from pathtracing_tpu.utils.vec import Vec3
+
+                W, H = config.image_width, config.image_height
+                idx = np.arange(W * H, dtype=np.int32)
+                colors, counts = render_adaptive(
+                    config, dev, idx % W, idx // W,
+                    spp_base=args.adaptive, spp_total=config.samples_per_pixel,
+                    tile_pixels=args.tile_pixels, wavefront=args.wavefront,
+                )
+                colors = colors.reshape(H, W, 3)
+                print(
+                    f"FRAME #{frame_index} adaptive samples/pixel: "
+                    f"min={counts.min()} mean={counts.mean():.1f} "
+                    f"max={counts.max()}"
+                )
+                bb, gg, rr, aa = jax.jit(tonemap)(
+                    Vec3(*(jnp.asarray(colors[..., i]) for i in range(3)))
+                )
+                image = np.stack(
+                    [np.asarray(bb), np.asarray(gg), np.asarray(rr), np.asarray(aa)],
+                    -1,
+                )
             else:
                 colors, image = render_frame(
                     config, dev, tile_pixels=args.tile_pixels,
                     wavefront=args.wavefront,
+                )
+            if args.aovs:
+                from pathtracing_tpu.aov import render_aovs
+
+                W, H = config.image_width, config.image_height
+                idx = np.arange(W * H, dtype=np.int32)
+                aovs = render_aovs(
+                    config, dev, idx % W, idx // W,
+                    spp=min(config.samples_per_pixel, 8),
+                    tile_pixels=args.tile_pixels,
+                )
+                np.savez_compressed(
+                    os.path.join(args.out, f"frame_{frame_index:04d}.aovs.npz"),
+                    **{k: v.reshape(H, W, -1).squeeze() for k, v in aovs.items()},
                 )
         dt = time.perf_counter() - t0
         n_samples = config.image_width * config.image_height * (
