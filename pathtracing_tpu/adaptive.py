@@ -79,35 +79,29 @@ def render_with_variance(
 
     Returns (colors (N, 3) f32 averaged, stderr (N,) f32).
     """
-    from pathtracing_tpu.render import default_tile_pixels
-
-    if tile_pixels is None:
-        tile_pixels = default_tile_pixels(scene)
-    n = len(xs)
-    xs = np.asarray(xs, np.int32)
-    ys = np.asarray(ys, np.int32)
-    sums = np.empty((n, 3), np.float32)
-    lum2 = np.empty(n, np.float32)
-    pending = []
-    for start in range(0, n, tile_pixels):
-        end = min(start + tile_pixels, n)
-        pad = tile_pixels - (end - start)
-        txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
-        tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
-        out = _render_tile_stats(
-            config, scene, jnp.asarray(txs), jnp.asarray(tys), spp
-        )
-        pending.append((start, end, out))
-    for start, end, (r, g, b, l2) in pending:
-        m = end - start
-        sums[start:end, 0] = np.asarray(r)[:m]
-        sums[start:end, 1] = np.asarray(g)[:m]
-        sums[start:end, 2] = np.asarray(b)[:m]
-        lum2[start:end] = np.asarray(l2)[:m]
+    sums, lum2 = _stats_pass(config, scene, xs, ys, spp, tile_pixels, False)
     lum_sum = sums @ np.asarray(_LUM, np.float32)
     var = np.maximum(lum2 - lum_sum * lum_sum / spp, 0.0) / max(spp - 1, 1)
     stderr = np.sqrt(var / spp).astype(np.float32)
     return sums / np.float32(spp), stderr
+
+
+def _stats_pass(config, scene, xs, ys, spp, tile_pixels, wavefront):
+    """Tiled uniform pass returning (sums (N, 3), lum2 (N,))."""
+    from pathtracing_tpu.render import default_tile_pixels, run_tiled
+
+    if spp < 1:
+        raise ValueError("the variance pass needs spp >= 1")
+    if tile_pixels is None:
+        tile_pixels = default_tile_pixels(scene)
+    tile_kernel = (
+        _render_tile_stats_wavefront if wavefront else _render_tile_stats
+    )
+    kernel = lambda txs, tys: tile_kernel(config, scene, txs, tys, spp)
+    xs = np.asarray(xs, np.int32)
+    ys = np.asarray(ys, np.int32)
+    r, g, b, lum2 = run_tiled(kernel, xs, ys, tile_pixels, 4)
+    return np.stack([r, g, b], -1), lum2
 
 
 def allocate_samples(
@@ -126,8 +120,10 @@ def allocate_samples(
         return np.zeros(n, np.int32)
     sigma = np.sqrt(np.maximum(var, 0.0))
     total = sigma.sum()
-    if total <= 0:  # flat image: spread uniformly
+    if not total > 0:  # flat image (or NaN variance): spread uniformly
         flat = int(budget // n)
+        if max_extra is not None:
+            flat = min(flat, int(max_extra))
         return np.full(n, 1 << max(flat.bit_length() - 1, 0) if flat else 0,
                        np.int32)
     if max_extra is None:
@@ -139,18 +135,27 @@ def allocate_samples(
     alloc = np.zeros(n, np.int64)
     pos = raw >= 1.0
     alloc[pos] = 1 << (np.floor(np.log2(raw[pos])).astype(np.int64))
-    # flooring frees budget; promote the highest-variance pixels one level
-    # until the budget is spent (single pass, largest remainder first)
+    # flooring frees budget; promote highest-variance pixels (doubling,
+    # clamped at max_extra) in vectorized passes until the budget is spent
+    # or every pixel is at the cap; one final partial fill may produce a
+    # single non-power-of-two bucket
     spare = budget - int(alloc.sum())
-    if spare > 0:
-        order = np.argsort(-sigma)
-        for i in order:
-            step = int(alloc[i]) or 1
-            if step <= spare:
-                alloc[i] += step
-                spare -= step
-            if spare <= 0:
-                break
+    order = np.argsort(-sigma, kind="stable")
+    while spare > 0:
+        inc = np.minimum(np.where(alloc > 0, alloc, 1), max_extra - alloc)
+        live = order[inc[order] > 0]  # promotable, by descending sigma
+        if live.size == 0:
+            break
+        incs = inc[live]
+        c = np.cumsum(incs)
+        k = int(np.searchsorted(c, spare, side="right"))
+        if k == 0:
+            # even the best candidate's doubling exceeds the remaining
+            # budget: partial fill (spare < incs[0] <= its cap headroom)
+            alloc[live[0]] += spare
+            break
+        alloc[live[:k]] += incs[:k]
+        spare -= int(c[k - 1])
     return alloc.astype(np.int32)
 
 
@@ -171,10 +176,13 @@ def render_adaptive(
     pass 2 spends the remaining `(spp_total - spp_base) * N` samples where
     the variance is. Returns (colors (N, 3) f32 averaged, n_samples (N,)
     int32). `alloc` overrides the variance-guided allocation with explicit
-    per-pixel extra counts (must be powers of two or 0).
+    per-pixel extra counts (pass 2 compiles one kernel per distinct
+    nonzero count, so keep the distinct-value set small).
     """
     from pathtracing_tpu.render import default_tile_pixels
 
+    if spp_base < 1:
+        raise ValueError("spp_base must be >= 1")
     if spp_total < spp_base:
         raise ValueError("spp_total must be >= spp_base")
     if tile_pixels is None:
@@ -184,28 +192,9 @@ def render_adaptive(
     ys = np.asarray(ys, np.int32)
 
     # ---- pass 1: uniform + variance ----
-    sums = np.empty((n, 3), np.float32)
-    lum2 = np.empty(n, np.float32)
-    pending = []
-    for start in range(0, n, tile_pixels):
-        end = min(start + tile_pixels, n)
-        pad = tile_pixels - (end - start)
-        txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
-        tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
-        kernel = (
-            _render_tile_stats_wavefront if wavefront else _render_tile_stats
-        )
-        out = kernel(
-            config, scene,
-            jnp.asarray(txs), jnp.asarray(tys), spp_base,
-        )
-        pending.append((start, end, out))
-    for start, end, (r, g, b, l2) in pending:
-        m = end - start
-        sums[start:end, 0] = np.asarray(r)[:m]
-        sums[start:end, 1] = np.asarray(g)[:m]
-        sums[start:end, 2] = np.asarray(b)[:m]
-        lum2[start:end] = np.asarray(l2)[:m]
+    sums, lum2 = _stats_pass(
+        config, scene, xs, ys, spp_base, tile_pixels, wavefront
+    )
 
     counts = np.full(n, spp_base, np.int64)
 
@@ -215,11 +204,23 @@ def render_adaptive(
             lum_sum = sums @ np.asarray(_LUM, np.float32)
             # unbiased per-pixel sample variance of luminance
             var = (lum2 - lum_sum * lum_sum / spp_base) / max(spp_base - 1, 1)
-            alloc = allocate_samples(var, budget)
+            # never run a pixel past the motion-blur subframes the scene
+            # was packed for: extra sample indices live in
+            # [spp_base, spp_base + max_extra), and scene.sf_* gathers
+            # would silently clamp to the last packed subframe beyond it
+            packed_spp = (
+                scene.sf_cam.shape[0] * config.samples_per_motion_blur_step
+            )
+            max_extra = max(packed_spp - spp_base, 0)
+            default_cap = max(8 * budget // n, 2)
+            alloc = allocate_samples(
+                var, budget, max_extra=min(default_cap, max_extra)
+            )
         else:
             alloc = np.zeros(n, np.int32)
 
-    # ---- pass 2: per-bucket extra samples (raw sums, same RNG stream) ----
+    # ---- pass 2: per-bucket extra samples (raw sums, same RNG stream;
+    # fixed tile size so compiled kernels are reused across frames) ----
     for s in np.unique(alloc):
         s = int(s)
         if s == 0:
@@ -227,7 +228,7 @@ def render_adaptive(
         sel = np.nonzero(alloc == s)[0]
         extra = render_pixels(
             config, scene, xs[sel], ys[sel], spp=s,
-            tile_pixels=min(tile_pixels, max(len(sel), 1)),
+            tile_pixels=tile_pixels,
             sample_base=spp_base, average=False, wavefront=wavefront,
         )
         sums[sel] += extra

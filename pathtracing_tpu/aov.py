@@ -95,27 +95,14 @@ def render_aovs(
     depth (N,) (mean over hitting samples; 0 where nothing hit),
     coverage (N,) in [0, 1].
     """
-    from pathtracing_tpu.render import default_tile_pixels
+    from pathtracing_tpu.render import default_tile_pixels, run_tiled
 
     if tile_pixels is None:
         tile_pixels = default_tile_pixels(scene)
-    n = len(xs)
-    acc = [np.empty(n, np.float32) for _ in range(8)]
-    pending = []
-    for start in range(0, n, tile_pixels):
-        end = min(start + tile_pixels, n)
-        pad = tile_pixels - (end - start)
-        txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
-        tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
-        out = _aov_tile(
-            config, scene,
-            jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32), spp,
-        )
-        pending.append((start, end, out))
-    for start, end, out in pending:
-        for k in range(8):
-            acc[k][start:end] = np.asarray(out[k])[: end - start]
-    ar, ag, ab, nx, ny, nz, d, h = acc
+    xs = np.asarray(xs, np.int32)
+    ys = np.asarray(ys, np.int32)
+    kernel = lambda txs, tys: _aov_tile(config, scene, txs, tys, spp)
+    ar, ag, ab, nx, ny, nz, d, h = run_tiled(kernel, xs, ys, tile_pixels, 8)
     inv_spp = np.float32(1.0 / spp)
     hits = np.maximum(h, 1.0)
     normal = np.stack([nx, ny, nz], -1)

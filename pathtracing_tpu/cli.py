@@ -83,6 +83,15 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
+    if args.adaptive is not None:
+        if args.sample_range or args.shard:
+            ap.error("--adaptive cannot combine with --sample-range/--shard")
+        spp_total = args.spp or (
+            256 if args.preset == "testing" else 1024
+        )
+        if not (1 <= args.adaptive <= spp_total):
+            ap.error(f"--adaptive BASE must be in [1, spp={spp_total}]")
+
     if args.merge:
         return merge_partials(args)
 
@@ -193,31 +202,17 @@ def main(argv=None):
                 )
                 np.savez_compressed(part, sums=sums, sample_range=(a, b))
             elif args.shard:
-                import jax
-                import jax.numpy as jnp
-
-                from pathtracing_tpu.ops.tonemap import tonemap
                 from pathtracing_tpu.parallel.multihost import local_device_mesh
                 from pathtracing_tpu.parallel.sharding import render_frame_sharded
-                from pathtracing_tpu.utils.vec import Vec3
+                from pathtracing_tpu.render import to_bgra
 
                 colors = render_frame_sharded(
                     config, dev, local_device_mesh(), wavefront=args.wavefront
                 )
-                bb, gg, rr, aa = jax.jit(tonemap)(
-                    Vec3(*(jnp.asarray(colors[..., i]) for i in range(3)))
-                )
-                image = np.stack(
-                    [np.asarray(bb), np.asarray(gg), np.asarray(rr), np.asarray(aa)],
-                    -1,
-                )
+                image = to_bgra(colors)
             elif args.adaptive is not None:
-                import jax
-                import jax.numpy as jnp
-
                 from pathtracing_tpu.adaptive import render_adaptive
-                from pathtracing_tpu.ops.tonemap import tonemap
-                from pathtracing_tpu.utils.vec import Vec3
+                from pathtracing_tpu.render import to_bgra
 
                 W, H = config.image_width, config.image_height
                 idx = np.arange(W * H, dtype=np.int32)
@@ -232,13 +227,7 @@ def main(argv=None):
                     f"min={counts.min()} mean={counts.mean():.1f} "
                     f"max={counts.max()}"
                 )
-                bb, gg, rr, aa = jax.jit(tonemap)(
-                    Vec3(*(jnp.asarray(colors[..., i]) for i in range(3)))
-                )
-                image = np.stack(
-                    [np.asarray(bb), np.asarray(gg), np.asarray(rr), np.asarray(aa)],
-                    -1,
-                )
+                image = to_bgra(colors)
             else:
                 colors, image = render_frame(
                     config, dev, tile_pixels=args.tile_pixels,
@@ -287,12 +276,8 @@ def merge_partials(args):
     import glob
     import re
 
-    import jax
-    import jax.numpy as jnp
-
     from pathtracing_tpu.io.bmp import write_bmp
-    from pathtracing_tpu.ops.tonemap import tonemap
-    from pathtracing_tpu.utils.vec import Vec3
+    from pathtracing_tpu.render import to_bgra
 
     pattern = re.compile(r"frame_(\d{4})\.part_(\d+)_(\d+)\.npz$")
     frames: dict = {}
@@ -329,12 +314,7 @@ def merge_partials(args):
         if not merged_ok:
             print(f"FRAME #{frame_index}: WARNING ranges {covered} have gaps/overlap")
         colors = total / np.float32(n_samples)
-        bb, gg, rr, aa = jax.jit(tonemap)(
-            Vec3(*(jnp.asarray(colors[..., i]) for i in range(3)))
-        )
-        image = np.stack(
-            [np.asarray(bb), np.asarray(gg), np.asarray(rr), np.asarray(aa)], -1
-        )
+        image = to_bgra(colors)
         out_path = os.path.join(args.out, f"frame_{frame_index:04d}.bmp")
         write_bmp(out_path, image)
         print(f"FRAME #{frame_index}: merged {n_samples} spp from {len(parts)} partials -> {out_path}")

@@ -70,7 +70,8 @@ class _WfState(NamedTuple):
     ray_dir: Vec3
     cur: Vec3              # current sample's radiance (folded into acc at death)
     acc: Vec3              # per-pixel sums over completed samples
-    acc_l2: Array          # per-pixel sums of luminance^2 (variance stats)
+    acc_l2: Array          # per-pixel sums of luminance^2 when with_stats
+                           # (else a zero-length array: no carry cost)
     tlas_count: Array
     tlas_offset: Array
     light: LightParams
@@ -132,7 +133,7 @@ def path_trace_wavefront(
         ray_dir=Vec3(fz, fz, jnp.ones(R, jnp.float32)),
         cur=v0,
         acc=v0,
-        acc_l2=fz,
+        acc_l2=fz if with_stats else jnp.zeros((0,), jnp.float32),
         tlas_count=i32(1),
         tlas_offset=i32(0),
         light=LightParams(
@@ -293,8 +294,14 @@ def path_trace_wavefront(
         path_live = live & (new_info.thit > 0) & (bounce_i <= config.max_bounces)
         died = live & jnp.logical_not(path_live)
         acc = s.acc + where3(died, cur, Vec3(zero, zero, zero))
-        lum = f32(0.2126) * cur.x + f32(0.7152) * cur.y + f32(0.0722) * cur.z
-        acc_l2 = s.acc_l2 + jnp.where(died, lum * lum, zero)
+        if with_stats:
+            lum = (
+                f32(0.2126) * cur.x + f32(0.7152) * cur.y
+                + f32(0.0722) * cur.z
+            )
+            acc_l2 = s.acc_l2 + jnp.where(died, lum * lum, zero)
+        else:
+            acc_l2 = s.acc_l2
         cur = where3(died, Vec3(zero, zero, zero), cur)
 
         return _WfState(

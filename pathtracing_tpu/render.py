@@ -75,6 +75,47 @@ def default_tile_pixels(scene) -> int:
     )
 
 
+def run_tiled(kernel, xs, ys, tile_pixels: int, n_channels: int):
+    """Run a jitted per-lane kernel over a pixel list in fixed-size tiles.
+
+    kernel(txs, tys) -> tuple of n_channels (tile_pixels,) arrays. Tiles are
+    padded to tile_pixels so ONE compiled kernel serves every tile; all
+    tiles are dispatched before any result is forced (async pipelining).
+    Returns a list of n_channels (N,) float32 arrays.
+    """
+    n = len(xs)
+    out = [np.empty(n, np.float32) for _ in range(n_channels)]
+    pending = []
+    for start in range(0, n, tile_pixels):
+        end = min(start + tile_pixels, n)
+        pad = tile_pixels - (end - start)
+        txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
+        tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
+        res = kernel(
+            jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32)
+        )
+        pending.append((start, end, res))
+    for start, end, res in pending:
+        for k in range(n_channels):
+            out[k][start:end] = np.asarray(res[k])[: end - start]
+    return out
+
+
+def to_bgra(colors: np.ndarray) -> np.ndarray:
+    """Tonemap (H, W, 3) radiance to the reference's uchar BGRA layout
+    (reference: path_tracer.hh:753-771, main.cc:42-46)."""
+    b, g, r, a = jax.jit(tonemap)(
+        Vec3(
+            jnp.asarray(colors[..., 0]),
+            jnp.asarray(colors[..., 1]),
+            jnp.asarray(colors[..., 2]),
+        )
+    )
+    return np.stack(
+        [np.asarray(b), np.asarray(g), np.asarray(r), np.asarray(a)], axis=-1
+    )
+
+
 def render_pixels(
     config: RenderConfig,
     scene,
@@ -98,33 +139,16 @@ def render_pixels(
     spp = spp or config.samples_per_pixel
     if tile_pixels is None:
         tile_pixels = default_tile_pixels(scene)
-    n = len(xs)
-    out = np.empty((n, 3), np.float32)
-    # dispatch every tile before forcing any result: JAX dispatch is async,
-    # so the host keeps feeding the device instead of blocking per tile
-    pending = []
-    for start in range(0, n, tile_pixels):
-        end = min(start + tile_pixels, n)
-        # pad to tile size so one compiled kernel serves every tile
-        pad = tile_pixels - (end - start)
-        txs = np.concatenate([xs[start:end], np.zeros(pad, np.int32)])
-        tys = np.concatenate([ys[start:end], np.zeros(pad, np.int32)])
-        if wavefront:
-            rgb = _render_tile_wavefront(
-                config, scene,
-                jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32),
-                spp, int(sample_base),
-            )
-        else:
-            rgb = _render_tile(
-                config, scene,
-                jnp.asarray(txs, jnp.int32), jnp.asarray(tys, jnp.int32),
-                spp, jnp.int32(sample_base),
-            )
-        pending.append((start, end, rgb))
-    for start, end, (r, g, b) in pending:
-        tile = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
-        out[start:end] = tile[: end - start]
+    if wavefront:
+        kernel = lambda txs, tys: _render_tile_wavefront(
+            config, scene, txs, tys, spp, int(sample_base)
+        )
+    else:
+        kernel = lambda txs, tys: _render_tile(
+            config, scene, txs, tys, spp, jnp.int32(sample_base)
+        )
+    r, g, b = run_tiled(kernel, xs, ys, tile_pixels, 3)
+    out = np.stack([r, g, b], -1)
     if average:
         return out / np.float32(spp)
     return out
@@ -145,14 +169,4 @@ def render_frame(
     colors = render_pixels(
         config, scene, xs, ys, spp, tile_pixels, wavefront=wavefront
     ).reshape(H, W, 3)
-    b, g, r, a = jax.jit(tonemap)(
-        Vec3(
-            jnp.asarray(colors[..., 0]),
-            jnp.asarray(colors[..., 1]),
-            jnp.asarray(colors[..., 2]),
-        )
-    )
-    image = np.stack(
-        [np.asarray(b), np.asarray(g), np.asarray(r), np.asarray(a)], axis=-1
-    )
-    return colors, image
+    return colors, to_bgra(colors)

@@ -30,9 +30,9 @@ def test_allocate_samples_properties():
     var = np.array([0.0, 1.0, 4.0, 16.0, 0.25])
     alloc = allocate_samples(var, budget=40)
     assert alloc.sum() <= 40
-    # counts are 0 or powers of two
-    assert all(c == 0 or (c & (c - 1)) == 0 for c in alloc)
-    # monotone in variance (after power-of-two quantization)
+    # the bucket set stays tiny (pow-2 levels + at most one partial fill)
+    assert len(set(alloc[alloc > 0])) <= int(np.log2(40)) + 2
+    # monotone in variance (after quantization)
     order = np.argsort(var)
     assert (np.diff(alloc[order]) >= 0).all()
     # flat variance spreads uniformly
@@ -41,11 +41,22 @@ def test_allocate_samples_properties():
     assert allocate_samples(var, budget=0).sum() == 0
 
 
+def test_allocate_samples_spends_budget_under_cap():
+    """The promotion passes spend the whole budget even when the per-pixel
+    cap binds (every pixel can absorb it)."""
+    var = np.linspace(0.1, 2.0, 64)
+    alloc = allocate_samples(var, budget=64 * 6, max_extra=8)
+    assert (alloc <= 8).all()
+    assert alloc.sum() == 64 * 6  # capacity 64*8 > budget => fully spent
+
+
 def test_no_extra_equals_uniform(scene):
     xs, ys = _grid()
     c, n = render_adaptive(TESTING, scene, xs, ys, 4, 4, tile_pixels=len(xs))
     u = render_pixels(TESTING, scene, xs, ys, spp=4, tile_pixels=len(xs))
-    np.testing.assert_array_equal(c, u)
+    # allclose, not equal: the stats kernel is a different compiled program
+    # than the plain scan (CLAUDE.md chaotic-lane allowance)
+    np.testing.assert_allclose(c, u, rtol=1e-5, atol=1e-6)
     assert (n == 4).all()
 
 

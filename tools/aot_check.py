@@ -98,6 +98,36 @@ def main():
         ).lower(scene_specs, iv, iv).compile(),
     )
 
+    check(
+        "wavefront stats (adaptive pass 1)",
+        lambda: jax.jit(
+            functools.partial(
+                path_trace_wavefront, TESTING, spp=8, with_stats=True
+            ),
+            static_argnames=("spp", "with_stats"),
+            out_shardings=sh,
+        ).lower(scene_specs, iv, iv).compile(),
+    )
+
+    def _aov_thunk():
+        from pathtracing_tpu.aov import _aov_tile
+
+        return _aov_tile.lower(TESTING, scene_specs, iv, iv, 8).compile()
+
+    check("aov tile", _aov_thunk)
+
+    def _denoise_thunk():
+        from pathtracing_tpu.denoise import _denoise
+
+        hw = jax.ShapeDtypeStruct((256, 512), jnp.float32, sharding=sh)
+        hw3 = jax.ShapeDtypeStruct((256, 512, 3), jnp.float32, sharding=sh)
+        sc = jax.ShapeDtypeStruct((), jnp.float32, sharding=sh)
+        return _denoise.lower(
+            hw3, (hw3, hw3, hw, hw), hw, 2, (sc,) * 5
+        ).compile()
+
+    check("denoiser (joint bilateral)", _denoise_thunk)
+
     ctrav = check(
         "traversal ray_query",
         lambda: jax.jit(
