@@ -307,20 +307,36 @@ def path_trace_samples(
     xs: Array,
     ys: Array,
     sample_index: Array,
+    query_shade=None,
 ) -> Vec3:
     """One radiance sample per lane (reference: path_tracer.hh:637-741).
 
     xs, ys: pixel coordinates (int32); sample_index: int32 (negative =>
     subframe 0, reference: path_tracer.hh:655-657).
+
+    query_shade: optional trace-and-shade override with signature
+    (scene, light, tlas_count, tlas_offset, org, d, tmin, tmax, active,
+    anyhit, n_shade) -> (occluded over lanes [:N-n_shade], HitInfo over the
+    LAST n_shade lanes). The default is ray_query + shade_hit on one
+    device; parallel/geomshard.py supplies a version that traces
+    shard-local geometry and combines the per-shard closest hits with mesh
+    collectives (pmin/psum).
     """
     seed, subframe, light, tlas_count, tlas_offset, ray_o, ray_dir = (
         camera_sample(config, scene, xs, ys, sample_index)
     )
 
     all_active = jnp.ones_like(xs, dtype=bool)
-    info = trace_ray(
-        scene, light, tlas_count, tlas_offset, ray_o, ray_dir, 0.0, all_active
-    )
+    if query_shade is None:
+        info = trace_ray(
+            scene, light, tlas_count, tlas_offset, ray_o, ray_dir, 0.0,
+            all_active,
+        )
+    else:
+        _, info = query_shade(
+            scene, light, tlas_count, tlas_offset, ray_o, ray_dir,
+            0.0, 1e9, all_active, False, xs.shape[0],
+        )
 
     one = jnp.ones_like(ray_dir.x)
     zero = jnp.zeros_like(ray_dir.x)
@@ -369,7 +385,7 @@ def path_trace_samples(
         R = active.shape[0]
         cat = lambda a, b: jnp.concatenate([a, b])
         cat3 = lambda a, b: Vec3(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
-        hit2, occ2 = ray_query(
+        drain_args = (
             scene,
             cat(tlas_count, tlas_count),
             cat(tlas_offset, tlas_offset),
@@ -378,11 +394,18 @@ def path_trace_samples(
             config.min_ray_dist,
             config.max_ray_dist,
             cat(nee.shadow_active, active),
-            anyhit=cat(jnp.ones(R, bool), jnp.zeros(R, bool)),
         )
-        occluded = occ2[:R]
-        bounce_hit = jax.tree.map(lambda a: a[R:], hit2)
-        info = shade_hit(scene, light, bounce_hit, ray_o, ray_dir)
+        anyhit2 = cat(jnp.ones(R, bool), jnp.zeros(R, bool))
+        if query_shade is None:
+            hit2, occ2 = ray_query(*drain_args, anyhit=anyhit2)
+            occluded = occ2[:R]
+            bounce_hit = jax.tree.map(lambda a: a[R:], hit2)
+            info = shade_hit(scene, light, bounce_hit, ray_o, ray_dir)
+        else:
+            sc, tc2, to2, org2, dir2, tmn, tmx, act2 = drain_args
+            occluded, info = query_shade(
+                sc, light, tc2, to2, org2, dir2, tmn, tmx, act2, anyhit2, R
+            )
 
         nee_color = nee_finish(nee, light, info_now, occluded, active, config)
         contribution = contribution + where3(

@@ -1,0 +1,269 @@
+"""Geometry-sharded rendering — the renderer's tensor-parallel analogue.
+
+The reference replicates its whole scene in every worker's memory (one
+process, shared buffers; main.cc). SURVEY.md §2.11 calls scene *sharding*
+the TP analogue for scenes larger than one chip's HBM: here each device of
+a ``geom`` mesh axis owns a DISJOINT subset of the TLAS instances (and
+traverses only its own acceleration structure), every device traces the
+same replicated rays against its local geometry, and the global closest
+hit is reconstructed with mesh collectives:
+
+  * per-lane winner:  ``pmin`` over shard-local thit (miss -> +inf),
+  * deterministic tie-break: lowest shard index among equal thit,
+  * shading happens on the winning shard (its tables hold the hit's
+    attributes), then the shaded ``HitInfo`` is ``psum``-combined (the
+    losers contribute zeros via where-masks, so stray inf/NaN in dead
+    lanes cannot leak),
+  * any-hit occlusion is a ``psum`` logical OR.
+
+After the combine, every shard carries identical hit state, so the bounce
+loop (RNG, BSDF, NEE, atmosphere) stays replicated and bit-consistent —
+only the two-level BVH traversal is distributed. One drain costs three
+(R,) collectives plus one HitInfo psum (~22R floats) per bounce, all
+riding ICI.
+
+Work distribution: instances are assigned to shards by greedy busiest-last
+bin packing on BLAS node counts, so each device traverses ~1/D of the
+scene's geometry. (The packed tables keep the global dense layout with
+unused rows zeroed — scene/device.pack_nl8 — so v1 distributes traversal
+WORK; compacting each shard's tables to its live rows is a follow-up in
+the packing layer.)
+
+Forward rendering only; the combine's where-masks are gradient-safe but
+geometry-sharded differentiation is untested.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pathtracing_tpu.config import RenderConfig
+from pathtracing_tpu.ops.integrator import (
+    HitInfo,
+    path_trace_samples,
+    shade_hit,
+)
+from pathtracing_tpu.ops.traversal import ray_query
+from pathtracing_tpu.scene.device import SceneDevice, pack_scene
+from pathtracing_tpu.utils.vec import Mat3, Vec3
+
+__all__ = [
+    "assign_instances",
+    "build_shard_scenes",
+    "make_geom_query_shade",
+    "make_geom_sharded_render",
+]
+
+
+def tlas_leaf_ids(links: np.ndarray, handle) -> np.ndarray:
+    """Instance ids referenced by a TLAS: leaf-encoded accept links carry
+    the user index under the 0x80000000 tag (reference: bvh.cc:176-177)."""
+    block = np.asarray(
+        links[8 * handle.node_offset : 8 * (handle.node_offset + handle.node_count)],
+        np.uint32,
+    )
+    acc = block[:, 0]
+    return np.unique(acc[(acc & 0x80000000) != 0] & 0x7FFFFFFF)
+
+
+def assign_instances(scene, n_shards: int) -> np.ndarray:
+    """Greedy balance of instances over shards by BLAS node count (unique
+    BLASes counted once per shard). Returns (I,) shard index per instance."""
+    insts = scene.instances
+    order = sorted(
+        range(len(insts)), key=lambda i: -insts[i].blas.node_count
+    )
+    load = np.zeros(n_shards, np.int64)
+    # BLASes already resident on a shard are free for further instances
+    resident = [set() for _ in range(n_shards)]
+    assign = np.zeros(len(insts), np.int32)
+    for i in order:
+        blas_key = insts[i].blas.node_offset
+        costs = [
+            load[s] + (0 if blas_key in resident[s] else insts[i].blas.node_count)
+            for s in range(n_shards)
+        ]
+        s = int(np.argmin(costs))
+        assign[i] = s
+        load[s] = costs[s]
+        resident[s].add(blas_key)
+    return assign
+
+
+def build_shard_scenes(
+    scene, config: RenderConfig, n_shards: int, assign: np.ndarray | None = None
+):
+    """Build one SceneDevice per shard: shared mesh/BLAS/instance tables,
+    per-shard subframe TLASes over the shard's instance subset (built with
+    GLOBAL instance ids, so hit records and shading agree across shards).
+
+    Returns (stacked SceneDevice with a leading (D, ...) axis on every
+    field, assign). nl8 tails are padded to the largest shard's size so the
+    stacked array is rectangular.
+    """
+    from pathtracing_tpu.accel.builder_py import build_tlas
+    from pathtracing_tpu.accel.types import BvhBuffers
+    from pathtracing_tpu.scene.types import Subframe
+
+    if assign is None:
+        assign = assign_instances(scene, n_shards)
+    assign = np.asarray(assign, np.int32)
+
+    shard_devs = []
+    for s in range(n_shards):
+        mine = set(np.nonzero(assign == s)[0].tolist())
+        bc = BvhBuffers()
+        bc.nodes = scene.bvh_buf.nodes.copy()
+        bc.links = scene.bvh_buf.links.copy()
+        # keep only the static (BLAS) region; rebuild every subframe TLAS
+        # over this shard's instances
+        static_n = min(
+            sf.tlas.node_offset for sf in scene.subframes
+        ) if scene.subframes else len(bc.nodes)
+        bc.nodes = bc.nodes[:static_n]
+        bc.links = bc.links[: 8 * static_n]
+        subframes = []
+        for sf in scene.subframes:
+            active = tlas_leaf_ids(scene.bvh_buf.links, sf.tlas)
+            ids = [int(i) for i in active if int(i) in mine]
+            if ids:
+                handle = build_tlas(
+                    [scene.instances[i] for i in ids], ids,
+                    scene.bvh_buf.nodes, bc,
+                )
+            else:
+                # empty shard for this subframe: 0-node TLAS => every ray
+                # exhausts immediately (ray_query treats count 0 as done)
+                from pathtracing_tpu.accel.types import BvhHandle
+
+                handle = BvhHandle(node_offset=len(bc.nodes), node_count=0)
+            subframes.append(Subframe(handle, sf.cam, sf.light))
+        shard_devs.append(
+            pack_scene(
+                scene.mesh_buf.arrays(),
+                bc.nodes,
+                bc.links,
+                scene.instances,
+                subframes,
+            )
+        )
+
+    # pad nl8 to the max shard size and stack every field along axis 0
+    max_rows = max(d.nl8.shape[0] for d in shard_devs)
+    def pad_nl8(a):
+        extra = max_rows - a.shape[0]
+        if extra == 0:
+            return a
+        return jnp.concatenate([a, jnp.zeros((extra, a.shape[1]), a.dtype)])
+
+    shard_devs = [d._replace(nl8=pad_nl8(d.nl8)) for d in shard_devs]
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *shard_devs
+    )
+    return stacked, assign
+
+
+def make_geom_query_shade(axis_name: str):
+    """The query_shade hook (ops/integrator.path_trace_samples) that traces
+    shard-local geometry and combines hits across the ``axis_name`` mesh
+    axis."""
+
+    def query_shade(
+        scene, light, tlas_count, tlas_offset, org, d, tmin, tmax,
+        active, anyhit, n_shade,
+    ):
+        hit, occ = ray_query(
+            scene, tlas_count, tlas_offset, org, d, tmin, tmax, active,
+            anyhit=anyhit,
+        )
+        n_occ = occ.shape[0] - n_shade
+        occluded = (
+            jax.lax.psum(occ[:n_occ].astype(jnp.float32), axis_name) > 0
+        )
+
+        tail = lambda a: a[a.shape[0] - n_shade :]
+        hit_t = jax.tree.map(tail, hit)
+        org_t = Vec3(tail(org.x), tail(org.y), tail(org.z))
+        dir_t = Vec3(tail(d.x), tail(d.y), tail(d.z))
+
+        # global winner: min thit (miss -> +inf), ties to the lowest shard
+        key = jnp.where(hit_t.thit >= 0, hit_t.thit, jnp.inf)
+        gmin = jax.lax.pmin(key, axis_name)
+        idx = jax.lax.axis_index(axis_name).astype(jnp.int32)
+        cand = (key == gmin) & jnp.isfinite(gmin)
+        win = jax.lax.pmin(
+            jnp.where(cand, idx, jnp.int32(0x7FFFFFFF)), axis_name
+        )
+        mask = cand & (idx == win)
+        # a globally-missed lane is shaded (sun disk / sky) by shard 0 —
+        # the miss value is scene-independent so any single shard works
+        mask = mask | (~jnp.isfinite(gmin) & (idx == 0))
+
+        info = shade_hit(scene, light, hit_t, org_t, dir_t)
+
+        def keep(x):
+            m = mask
+            if x.dtype == jnp.bool_:
+                return jnp.where(m, x, False)
+            return jnp.where(m, x, jnp.zeros_like(x))
+
+        masked = jax.tree.map(keep, info)
+        # bools (none today) would need an OR; all HitInfo fields are float
+        combined = jax.tree.map(
+            lambda x: jax.lax.psum(x, axis_name), masked
+        )
+        return occluded, combined
+
+    return query_shade
+
+
+def make_geom_sharded_render(
+    config: RenderConfig, mesh: Mesh, spp: int, axis_name: str = "geom"
+):
+    """Jitted fn(stacked_scene, xs, ys) -> (r, g, b) radiance SUMS over spp.
+
+    stacked_scene: from build_shard_scenes (leading D axis on every field);
+    xs/ys are replicated flat pixel arrays. Every device traces all rays
+    against its own geometry shard; results are bit-consistent across
+    shards, so the returned arrays are replicated.
+    """
+    query_shade = make_geom_query_shade(axis_name)
+
+    def local_render(scene_stacked, xs, ys):
+        scene = jax.tree.map(lambda a: a[0], scene_stacked)
+
+        def body(acc, s):
+            si = jnp.full(xs.shape, s, jnp.int32)
+            c = path_trace_samples(
+                config, scene, xs, ys, si, query_shade=query_shade
+            )
+            return (acc[0] + c.x, acc[1] + c.y, acc[2] + c.z), None
+
+        zero = jnp.zeros(xs.shape, jnp.float32)
+        (r, g, b), _ = jax.lax.scan(
+            body, (zero, zero, zero), jnp.arange(spp, dtype=jnp.int32)
+        )
+        # the combine already replicates hit state, so (r, g, b) are equal
+        # on every shard; average over the axis to declare replication
+        n = jax.lax.psum(1, axis_name)
+        return (
+            jax.lax.psum(r, axis_name) / n,
+            jax.lax.psum(g, axis_name) / n,
+            jax.lax.psum(b, axis_name) / n,
+        )
+
+    fn = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        # P(axis_name) is a tree-prefix spec: every SceneDevice field is
+        # sharded on its leading (D, ...) axis
+        in_specs=(P(axis_name), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
