@@ -24,10 +24,10 @@ riding ICI.
 
 Work distribution: instances are assigned to shards by greedy busiest-last
 bin packing on BLAS node counts, so each device traverses ~1/D of the
-scene's geometry. (The packed tables keep the global dense layout with
-unused rows zeroed — scene/device.pack_nl8 — so v1 distributes traversal
-WORK; compacting each shard's tables to its live rows is a follow-up in
-the packing layer.)
+scene's geometry. Each shard's tables are COMPACTED to the meshes/BLASes
+its instances actually reference (remapped handles, shard-local instance
+ids — safe because HitInfo carries no ids, only shaded floats), so HBM
+per shard scales down with 1/D: a scene too big for one chip fits a mesh.
 
 Forward rendering only; the combine's where-masks are gradient-safe but
 geometry-sharded differentiation is untested.
@@ -95,19 +95,95 @@ def assign_instances(scene, n_shards: int) -> np.ndarray:
     return assign
 
 
+def _compact_shard(scene, mine: list[int]):
+    """Slice the global buffers down to one shard's instances.
+
+    Returns (mesh_arrays, bvh_nodes, bvh_links, instances, blas_of) where
+    instances carry REMAPPED mesh/BLAS handles into the compacted buffers
+    (transforms — including inv_transform — are shared, not recomputed, so
+    traversal math is bit-identical to the single-device scene).
+    """
+    import dataclasses
+
+    indices, pos, normal, albedo, material = scene.mesh_buf.arrays()
+
+    mesh_map = {}   # (index_offset, base_vertex_offset) -> local MeshHandle
+    idx_parts, v_slices = [], []
+    cur_idx = cur_v = 0
+    blas_map = {}   # global node_offset -> local BvhHandle
+    node_parts, link_parts = [], []
+    cur_n = 0
+    locals_ = []
+    for i in mine:
+        inst = scene.instances[i]
+        mkey = (inst.mesh.index_offset, inst.mesh.base_vertex_offset)
+        if mkey not in mesh_map:
+            m = inst.mesh
+            # per-mesh index values are relative to base_vertex_offset
+            # (scene/device.pack_tri_tables adds it back), so the slice
+            # copies unchanged
+            idx_parts.append(
+                indices[m.index_offset : m.index_offset + 3 * m.triangle_count]
+            )
+            v_slices.append(
+                slice(m.base_vertex_offset, m.base_vertex_offset + m.vertex_count)
+            )
+            mesh_map[mkey] = dataclasses.replace(
+                m, index_offset=cur_idx, base_vertex_offset=cur_v
+            )
+            cur_idx += 3 * m.triangle_count
+            cur_v += m.vertex_count
+        bkey = inst.blas.node_offset
+        if bkey not in blas_map:
+            b = inst.blas
+            # link node indices are BVH-local (accel/types.py layout
+            # contract), so node/link blocks relocate without rewriting
+            node_parts.append(scene.bvh_buf.nodes[b.node_offset : b.node_offset + b.node_count])
+            link_parts.append(
+                scene.bvh_buf.links[8 * b.node_offset : 8 * (b.node_offset + b.node_count)]
+            )
+            from pathtracing_tpu.accel.types import BvhHandle
+
+            blas_map[bkey] = BvhHandle(node_count=b.node_count, node_offset=cur_n)
+            cur_n += b.node_count
+        locals_.append(
+            dataclasses.replace(inst, blas=blas_map[bkey], mesh=mesh_map[mkey])
+        )
+
+    mesh_arrays = (
+        np.concatenate(idx_parts).astype(np.uint32) if idx_parts
+        else np.zeros((0,), np.uint32),
+        *(
+            np.concatenate([a[sl] for sl in v_slices]).astype(np.float32)
+            if v_slices else np.zeros((0, a.shape[1]), np.float32)
+            for a in (pos, normal, albedo, material)
+        ),
+    )
+    nodes = (
+        np.concatenate(node_parts).astype(np.float32)
+        if node_parts else np.zeros((0, 6), np.float32)
+    )
+    links = (
+        np.concatenate(link_parts).astype(np.uint32)
+        if link_parts else np.zeros((0, 2), np.uint32)
+    )
+    return mesh_arrays, nodes, links, locals_
+
+
 def build_shard_scenes(
     scene, config: RenderConfig, n_shards: int, assign: np.ndarray | None = None
 ):
-    """Build one SceneDevice per shard: shared mesh/BLAS/instance tables,
-    per-shard subframe TLASes over the shard's instance subset (built with
-    GLOBAL instance ids, so hit records and shading agree across shards).
+    """Build one compacted SceneDevice per shard: each shard's tables hold
+    only the meshes/BLASes its instances reference (shard-local instance
+    ids; per-shard subframe TLASes over the shard's instance subset), so
+    device memory per shard shrinks with the assignment.
 
     Returns (stacked SceneDevice with a leading (D, ...) axis on every
-    field, assign). nl8 tails are padded to the largest shard's size so the
-    stacked array is rectangular.
+    field, assign). Tables are zero-padded to the largest shard's row count
+    per field so the stacked arrays are rectangular.
     """
     from pathtracing_tpu.accel.builder_py import build_tlas
-    from pathtracing_tpu.accel.types import BvhBuffers
+    from pathtracing_tpu.accel.types import BvhBuffers, BvhHandle
     from pathtracing_tpu.scene.types import Subframe
 
     if assign is None:
@@ -116,56 +192,50 @@ def build_shard_scenes(
 
     shard_devs = []
     for s in range(n_shards):
-        mine = set(np.nonzero(assign == s)[0].tolist())
+        mine = np.nonzero(assign == s)[0].tolist()
+        local_of = {int(g): l for l, g in enumerate(mine)}
+        mesh_arrays, blas_nodes, blas_links, locals_ = _compact_shard(
+            scene, mine
+        )
         bc = BvhBuffers()
-        bc.nodes = scene.bvh_buf.nodes.copy()
-        bc.links = scene.bvh_buf.links.copy()
-        # keep only the static (BLAS) region; rebuild every subframe TLAS
-        # over this shard's instances
-        static_n = min(
-            sf.tlas.node_offset for sf in scene.subframes
-        ) if scene.subframes else len(bc.nodes)
-        bc.nodes = bc.nodes[:static_n]
-        bc.links = bc.links[: 8 * static_n]
+        bc.nodes, bc.links = blas_nodes, blas_links
         subframes = []
         for sf in scene.subframes:
             active = tlas_leaf_ids(scene.bvh_buf.links, sf.tlas)
-            ids = [int(i) for i in active if int(i) in mine]
+            ids = [local_of[int(i)] for i in active if int(i) in local_of]
             if ids:
                 handle = build_tlas(
-                    [scene.instances[i] for i in ids], ids,
-                    scene.bvh_buf.nodes, bc,
+                    [locals_[i] for i in ids], ids, bc.nodes, bc,
                 )
             else:
                 # empty shard for this subframe: 0-node TLAS => every ray
                 # exhausts immediately (ray_query treats count 0 as done)
-                from pathtracing_tpu.accel.types import BvhHandle
-
                 handle = BvhHandle(node_offset=len(bc.nodes), node_count=0)
             subframes.append(Subframe(handle, sf.cam, sf.light))
         shard_devs.append(
-            pack_scene(
-                scene.mesh_buf.arrays(),
-                bc.nodes,
-                bc.links,
-                scene.instances,
-                subframes,
-            )
+            pack_scene(mesh_arrays, bc.nodes, bc.links, locals_, subframes)
         )
 
-    # pad nl8 to the max shard size and stack every field along axis 0
-    max_rows = max(d.nl8.shape[0] for d in shard_devs)
-    def pad_nl8(a):
-        extra = max_rows - a.shape[0]
+    # pad every field to the max shard row count and stack along axis 0
+    def pad_to(a, rows):
+        a = jnp.asarray(a)
+        extra = rows - a.shape[0]
         if extra == 0:
             return a
-        return jnp.concatenate([a, jnp.zeros((extra, a.shape[1]), a.dtype)])
+        return jnp.concatenate(
+            [a, jnp.zeros((extra,) + a.shape[1:], a.dtype)]
+        )
 
-    shard_devs = [d._replace(nl8=pad_nl8(d.nl8)) for d in shard_devs]
-    stacked = jax.tree.map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *shard_devs
-    )
-    return stacked, assign
+    fields = shard_devs[0]._fields
+    stacked = {}
+    for name in fields:
+        vals = [getattr(d, name) for d in shard_devs]
+        if vals[0] is None:
+            stacked[name] = None
+            continue
+        rows = max(v.shape[0] for v in vals)
+        stacked[name] = jnp.stack([pad_to(v, rows) for v in vals])
+    return type(shard_devs[0])(**stacked), assign
 
 
 def make_geom_query_shade(axis_name: str):
@@ -223,14 +293,23 @@ def make_geom_query_shade(axis_name: str):
 
 
 def make_geom_sharded_render(
-    config: RenderConfig, mesh: Mesh, spp: int, axis_name: str = "geom"
+    config: RenderConfig,
+    mesh: Mesh,
+    spp: int,
+    axis_name: str = "geom",
+    tile_axis: str | None = None,
 ):
     """Jitted fn(stacked_scene, xs, ys) -> (r, g, b) radiance SUMS over spp.
 
     stacked_scene: from build_shard_scenes (leading D axis on every field);
-    xs/ys are replicated flat pixel arrays. Every device traces all rays
-    against its own geometry shard; results are bit-consistent across
-    shards, so the returned arrays are replicated.
+    xs/ys are flat pixel arrays. Every device traces its pixel shard's rays
+    against its own geometry shard; hit state is bit-consistent across the
+    geom axis, so outputs are replicated over it.
+
+    tile_axis: optional second mesh axis for pixel data-parallelism — xs/ys
+    are sharded over it, composing geometry-TP x pixel-DP in one mesh (the
+    renderer's TPxDP analogue; reference has only the pixel loop,
+    main.cc:16).
     """
     query_shade = make_geom_query_shade(axis_name)
 
@@ -262,8 +341,8 @@ def make_geom_sharded_render(
         mesh=mesh,
         # P(axis_name) is a tree-prefix spec: every SceneDevice field is
         # sharded on its leading (D, ...) axis
-        in_specs=(P(axis_name), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(P(axis_name), P(tile_axis), P(tile_axis)),
+        out_specs=(P(tile_axis),) * 3,
         check_vma=False,
     )
     return jax.jit(fn)
