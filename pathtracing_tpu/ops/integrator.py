@@ -34,6 +34,7 @@ from pathtracing_tpu.utils.vec import (
     Vec3,
     create_tangent_space,
     dot3,
+    length3,
     normalize3,
     where3,
 )
@@ -158,7 +159,16 @@ def shade_hit(scene, light: LightParams, hit, origin: Vec3, d: Vec3) -> HitInfo:
         fi[:, 13] * n.x + fi[:, 16] * n.y + fi[:, 19] * n.z,
         fi[:, 14] * n.x + fi[:, 17] * n.y + fi[:, 20] * n.z,
     )
-    nw = normalize3(nw)
+    # Miss/dead lanes read instance 0's dummy rows; their downstream
+    # cotangents can be non-finite (dead-lane ray state is inf/NaN like the
+    # reference), and this rotate is the ONLY consumer of the rotation block
+    # of inst_f — route those lanes through a constant normal (and guard the
+    # normalize operand) so inst_f gradients stay finite. Live-lane values
+    # are bit-identical: the where only redirects miss lanes.
+    nlen = length3(nw)
+    nw = nw / jnp.where(miss | (nlen == 0), jnp.ones_like(nlen), nlen)
+    one = jnp.ones_like(nlen)
+    nw = where3(miss, Vec3(one * 0.0, one * 0.0, one), nw)
 
     # IOR 1.5; back-face flips the normal (reference: path_tracer.hh:394-400)
     eta = jnp.where(hit.back, _IOR, 1.0 / _IOR)

@@ -88,6 +88,83 @@ def make_sharded_render(
     return jax.jit(shard_fn)
 
 
+def make_sharded_render_grad(
+    config: RenderConfig,
+    mesh: Mesh,
+    spp: int,
+    fields=None,
+    loss_fn=None,
+    remat: bool = True,
+):
+    """The renderer's distributed *training step*: jitted
+    fn(scene, xs, ys) -> (loss, grads).
+
+    Forward is sharded exactly like make_sharded_render (pixels over
+    ``tiles``, sample ranges over ``samples``); backward runs locally and
+    the per-field cotangents are ``psum``-reduced over BOTH axes — the
+    data-parallel gradient all-reduce, riding ICI. The loss is the global
+    mean lane-sample value of ``loss_fn`` (default luminance), so the
+    result is independent of the mesh shape.
+
+    remat=True wraps the per-sample render in ``jax.checkpoint``: backward
+    recomputes each sample's forward instead of storing residuals for the
+    whole sample range, making gradient memory O(1) in spp.
+    """
+    from pathtracing_tpu.diff.render import DIFFERENTIABLE_FIELDS
+
+    fields = tuple(fields) if fields is not None else DIFFERENTIABLE_FIELDS
+    if loss_fn is None:
+        def loss_fn(c):
+            return jnp.sum(0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z)
+
+    n_tiles = mesh.shape["tiles"]
+    n_sample_shards = mesh.shape["samples"]
+    assert spp % n_sample_shards == 0, (spp, n_sample_shards)
+    local_spp = spp // n_sample_shards
+
+    def local_step(scene, xs, ys):
+        shard = jax.lax.axis_index("samples")
+        base = shard.astype(jnp.int32) * local_spp
+        denom = jnp.float32(xs.shape[0] * n_tiles * spp)
+
+        def sample_loss(params, s):
+            sc = scene._replace(**params)
+            si = jnp.full(xs.shape, base + s, jnp.int32)
+            c = path_trace_samples(config, sc, xs, ys, si)
+            return loss_fn(c) / denom
+
+        if remat:
+            sample_loss = jax.checkpoint(sample_loss)
+
+        def forward(params):
+            def body(acc, s):
+                return acc + sample_loss(params, s), None
+
+            total, _ = jax.lax.scan(
+                body,
+                jnp.float32(0.0),
+                jnp.arange(local_spp, dtype=jnp.int32),
+            )
+            return total
+
+        params = {f: getattr(scene, f) for f in fields}
+        loss, grads = jax.value_and_grad(forward)(params)
+        loss = jax.lax.psum(loss, ("tiles", "samples"))
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, ("tiles", "samples")), grads
+        )
+        return loss, grads
+
+    shard_fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P("tiles"), P("tiles")),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
 def render_frame_sharded(
     config: RenderConfig,
     scene,

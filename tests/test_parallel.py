@@ -68,3 +68,51 @@ def test_frames_for_host_partition():
     a = frames_for_host(0, 30, process_id=1, n_hosts=4)
     b = frames_for_host(0, 30, process_id=2, n_hosts=4)
     assert not set(a) & set(b)
+
+
+@pytest.mark.parametrize("tiles,samples,remat", [(4, 2, True), (2, 4, False)])
+def test_sharded_grad_matches_single_device(scene, tiles, samples, remat):
+    """The distributed training step (pixel-DP x sample-parallel forward,
+    psum gradient all-reduce) must reproduce the single-device gradient up
+    to float-add reordering."""
+    from pathtracing_tpu.diff.render import render_value_and_grad
+    from pathtracing_tpu.parallel.sharding import make_sharded_render_grad
+
+    if len(jax.devices()) < tiles * samples:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(tiles, samples)
+    spp = samples
+    n = 8 * tiles
+    idx = np.arange(n, dtype=np.int32)
+    xs = jnp.asarray((idx * 13) % CONFIG.image_width)
+    ys = jnp.asarray((idx * 7) % CONFIG.image_height)
+
+    step = make_sharded_render_grad(CONFIG, mesh, spp, remat=remat)
+    loss, grads = step(scene, xs, ys)
+
+    # single-device reference: mean over the same (lane, sample) set
+    ref_losses, ref_grads = [], None
+    for s in range(spp):
+        si = jnp.full(xs.shape, s, jnp.int32)
+        l, g = render_value_and_grad(
+            CONFIG, scene, xs, ys, si,
+            loss_fn=lambda c: jnp.mean(
+                0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z
+            ),
+        )
+        ref_losses.append(float(l))
+        g = {k: np.asarray(v) / spp for k, v in g.items()}
+        ref_grads = g if ref_grads is None else {
+            k: ref_grads[k] + g[k] for k in g
+        }
+    ref_loss = float(np.mean(ref_losses))
+
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5, atol=1e-7)
+    assert set(grads) == set(ref_grads)
+    for k in grads:
+        got = np.asarray(grads[k])
+        assert np.isfinite(got).all(), k
+        np.testing.assert_allclose(
+            got, ref_grads[k], rtol=2e-4, atol=1e-6, err_msg=k
+        )
