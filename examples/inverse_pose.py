@@ -29,60 +29,12 @@ import argparse
 import dataclasses
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 f32 = np.float32
-
-
-def _write_sphere_obj(path: str, n_u: int = 48, n_v: int = 24) -> None:
-    """Dense unit UV sphere with exact radial per-vertex normals and a
-    smooth warm albedo gradient (so both normal AND albedo interpolation
-    carry pose signal)."""
-    vs, ns, cols = [], [], []
-    for j in range(n_v + 1):
-        theta = np.pi * j / n_v
-        for i in range(n_u):
-            phi = 2 * np.pi * i / n_u
-            x = np.sin(theta) * np.cos(phi)
-            y = np.cos(theta)
-            z = np.sin(theta) * np.sin(phi)
-            vs.append((x, y, z))
-            ns.append((x, y, z))
-    faces = []
-    idx = lambda j, i: j * n_u + (i % n_u) + 1
-    for j in range(n_v):
-        for i in range(n_u):
-            a, b = idx(j, i), idx(j, i + 1)
-            c, d = idx(j + 1, i + 1), idx(j + 1, i)
-            if j > 0:
-                faces.append((a, b, c))
-            if j < n_v - 1:
-                faces.append((a, c, d))
-    with open(path, "w") as f:
-        f.write("mtllib sphere.mtl\nusemtl body\n")
-        for v in vs:
-            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-        for n in ns:
-            f.write(f"vn {n[0]:.6f} {n[1]:.6f} {n[2]:.6f}\n")
-        for a, b, c in faces:
-            f.write(f"f {a}//{a} {b}//{b} {c}//{c}\n")
-    with open(os.path.join(os.path.dirname(path), "sphere.mtl"), "w") as f:
-        f.write("newmtl body\nKd 0.75 0.45 0.25\nPr 0.45\nPm 0.0\n")
-
-
-def _write_ground_obj(path: str, half: float = 30.0) -> None:
-    with open(path, "w") as f:
-        f.write("mtllib ground.mtl\nusemtl g\n")
-        for x, z in ((-half, -half), (half, -half), (half, half), (-half, half)):
-            f.write(f"v {x} 0 {z}\n")
-        f.write("vn 0 1 0\n")
-        f.write("f 1//1 2//1 3//1\nf 1//1 3//1 4//1\n")
-    with open(os.path.join(os.path.dirname(path), "ground.mtl"), "w") as f:
-        f.write("newmtl g\nKd 0.55 0.55 0.55\nPr 0.9\nPm 0.0\n")
 
 
 def run(
@@ -99,37 +51,21 @@ def run(
     import jax
     import jax.numpy as jnp
 
-    from pathtracing_tpu.accel.builder_py import build_tlas
     from pathtracing_tpu.config import TESTING
     from pathtracing_tpu.ops.integrator import path_trace_samples
-    from pathtracing_tpu.scene.builder import SceneBuilder
-    from pathtracing_tpu.scene.device import pack_scene
+    from pathtracing_tpu.scene.builder import rebuild_static_tlas
     from pathtracing_tpu.scene.loader import make_transform
-    from pathtracing_tpu.scene.types import Subframe, TlasInstance
+    from pathtracing_tpu.scene.types import TlasInstance
     from pathtracing_tpu.utils.hostmath import inverse4
 
     cfg = dataclasses.replace(TESTING, max_bounces=2)
     true_pos = np.array([0.0, 1.0, 0.0], f32)
 
-    tmp = tempfile.mkdtemp(prefix="inverse_pose_")
-    sphere_path = os.path.join(tmp, "sphere.obj")
-    ground_path = os.path.join(tmp, "ground.obj")
-    _write_sphere_obj(sphere_path)
-    _write_ground_obj(ground_path)
+    from pathtracing_tpu import models
 
-    b = SceneBuilder()
-    b.add_mesh("ground", ground_path)
-    b.add_mesh("sphere", sphere_path)
-    b.add_instance("ground")
-    b.add_instance("sphere", pos=tuple(true_pos))
-    b.set_camera(position=(0, 2.2, 6.0), pitch_yaw_roll=(10, 0, 0), fov=50)
-    b.set_light(direction=(0.45, 1.0, 0.35), color=(4, 4, 4))
-    blas_len = len(b.scene.bvh_buf.nodes)  # BLAS-only region; TLAS appends
-    scene_host, _ = b.build(cfg)
-    cam = scene_host.subframes[0].cam
-    light = scene_host.subframes[0].light
+    scene_host, _ = models.build("sphere_ground", cfg, sphere_pos=tuple(true_pos))
     sphere_mesh, sphere_blas = scene_host.meshes["sphere"]
-    SPHERE = 1  # instance index
+    SPHERE = 1  # instance index (models/sphere_ground.py contract)
 
     # Pose parameterization constants: A = M(t=0); only inv row 3 moves.
     A = make_transform((0, 0, 0))
@@ -137,26 +73,12 @@ def run(
 
     def build_at(t: np.ndarray):
         """SceneDevice with the sphere at t and a TLAS rebuilt to match
-        (the per-frame rebuild from the animation loop, scene/loader.py)."""
-        s = scene_host
-        s.bvh_buf.nodes = s.bvh_buf.nodes[:blas_len]
-        s.bvh_buf.links = s.bvh_buf.links[: 8 * blas_len]
-        s.instances[SPHERE] = TlasInstance.create(
+        (scene/builder.rebuild_static_tlas — the static twin of the
+        animation loop's per-frame rebuild)."""
+        scene_host.instances[SPHERE] = TlasInstance.create(
             sphere_blas, sphere_mesh, make_transform(tuple(t))
         )
-        tlas = build_tlas(
-            s.instances, list(range(len(s.instances))), s.bvh_buf.nodes, s.bvh_buf
-        )
-        s.subframes = [
-            Subframe(tlas, cam, light) for _ in range(cfg.subframe_count)
-        ]
-        return pack_scene(
-            s.mesh_buf.arrays(),
-            s.bvh_buf.nodes,
-            s.bvh_buf.links,
-            s.instances,
-            s.subframes,
-        )
+        return rebuild_static_tlas(scene_host, cfg)
 
     rng = np.random.default_rng(seed)
     # concentrate samples in a window around the object (it sits near the

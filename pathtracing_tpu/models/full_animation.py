@@ -1,0 +1,41 @@
+"""The reference's full animated scene — the flagship model.
+
+Thin preset wrapper over the bit-faithful scene pipeline: terrain recolor
+gradients, the deterministic seed-{1,2,3,4} object placement, the ~240-entry
+animation table, sunset sun curve, and per-frame subframe TLAS builds
+(scene/loader.py; reference: scene.cc:135-718). The three stripped assets
+(terrain/bunny/pine) fall back to procedural substitutes
+(scene/assets.ensure_substitutes).
+"""
+
+from __future__ import annotations
+
+from pathtracing_tpu.config import TESTING, RenderConfig
+from pathtracing_tpu.models import _register
+
+
+@_register("full_animation")
+def build(
+    config: RenderConfig = TESTING,
+    frame: int = 0,
+    data_dir: str | None = None,
+):
+    """Returns (Scene, SceneDevice) at animation frame ``frame``.
+
+    For a frame loop, keep the Scene and call
+    scene.loader.setup_animation_frame + scene.device.DevicePacker per frame
+    (render.render_frames does this with host/device pipelining).
+    """
+    from pathtracing_tpu.scene.device import pack_scene
+    from pathtracing_tpu.scene.loader import load_scene, setup_animation_frame
+
+    s = load_scene(data_dir=data_dir, config=config)
+    setup_animation_frame(s, frame, config)
+    dev = pack_scene(
+        s.mesh_buf.arrays(),
+        s.bvh_buf.nodes,
+        s.bvh_buf.links,
+        s.instances,
+        s.subframes,
+    )
+    return s, dev

@@ -129,3 +129,39 @@ class SceneBuilder:
             s.subframes,
         )
         return s, device
+
+
+def rebuild_static_tlas(scene, config: RenderConfig, cam=None, light=None):
+    """Re-pack a builder-produced static scene after editing its instances
+    (moved/added/removed): truncates the TLAS region of the shared BVH
+    buffers (the builder appends the TLAS after all BLASes — the reference's
+    pop_bvh, bvh.cc:286-292), rebuilds one TLAS over ``scene.instances``,
+    and returns a fresh SceneDevice. Camera/light default to the scene's
+    current subframe values.
+
+    This is the static-scene twin of the per-frame rebuild in
+    scene/loader.setup_animation_frame — e.g. examples/inverse_pose.py calls
+    it every optimizer step to keep traversal consistent with the current
+    pose estimate.
+    """
+    cam = cam or scene.subframes[0].cam
+    light = light or scene.subframes[0].light
+    blas_len = scene.subframes[0].tlas.node_offset
+    scene.bvh_buf.nodes = scene.bvh_buf.nodes[:blas_len]
+    scene.bvh_buf.links = scene.bvh_buf.links[: 8 * blas_len]
+    tlas = build_tlas(
+        scene.instances,
+        list(range(len(scene.instances))),
+        scene.bvh_buf.nodes,
+        scene.bvh_buf,
+    )
+    scene.subframes = [
+        Subframe(tlas, cam, light) for _ in range(config.subframe_count)
+    ]
+    return pack_scene(
+        scene.mesh_buf.arrays(),
+        scene.bvh_buf.nodes,
+        scene.bvh_buf.links,
+        scene.instances,
+        scene.subframes,
+    )
