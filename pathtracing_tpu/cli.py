@@ -20,6 +20,13 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=["testing", "production"], default="testing")
+    ap.add_argument(
+        "--model",
+        choices=["full_animation", "teapot_rocks", "cornell_box", "sphere_ground"],
+        default="full_animation",
+        help="scene preset (pathtracing_tpu/models); full_animation is the "
+        "reference's animated scene, the others are static",
+    )
     ap.add_argument("--frames", type=int, nargs=2, default=[0, 1], metavar=("BEGIN", "END"))
     ap.add_argument("--spp", type=int, default=None, help="override samples per pixel")
     ap.add_argument("--max-bounces", type=int, default=None)
@@ -128,8 +135,19 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
 
     t0 = time.perf_counter()
-    scene = load_scene(data_dir=args.data_dir, config=config)
-    packer = DevicePacker(scene)
+    if args.model != "full_animation":
+        from pathtracing_tpu import models
+
+        kw = (
+            {"data_dir": args.data_dir}
+            if args.data_dir and args.model == "teapot_rocks"
+            else {}
+        )
+        _, static_dev = models.build(args.model, config, **kw)
+        scene = packer = None
+    else:
+        scene = load_scene(data_dir=args.data_dir, config=config)
+        packer = DevicePacker(scene)
     print(
         f"EXECUTION TIME OF load_scene() : "
         f"{(time.perf_counter()-t0)*1e3:.0f}ms"
@@ -141,7 +159,10 @@ def main(argv=None):
     metrics = MetricsLog(args.metrics)
 
     begin, end = args.frames
-    end = min(end, get_animation_frame_count(config))
+    if args.model != "full_animation":
+        end = min(end, begin + 1)  # static scene: one frame
+    else:
+        end = min(end, get_animation_frame_count(config))
 
     todo = []
     for frame_index in range(begin, end):
@@ -159,6 +180,8 @@ def main(argv=None):
         critical path, scene.cc:698-710). Safe because the render only touches
         the already-packed device tables, never `scene`.
         """
+        if scene is None:
+            return static_dev, 0.0  # static preset: already packed
         t0 = time.perf_counter()
         setup_animation_frame(scene, frame_index, config)
         dev = packer.pack_frame(scene)

@@ -183,6 +183,47 @@ def main():
             ).lower(scene_specsN, ip, ip).compile(),
         )
 
+    # distributed training step: sharded forward + remat backward + psum
+    # gradient all-reduce over both mesh axes
+    from pathtracing_tpu.parallel.sharding import make_sharded_render_grad
+
+    check(
+        f"sharded {n_dev}-chip training step",
+        lambda: make_sharded_render_grad(TESTING, meshN, spp=16)
+        .lower(scene_specsN, ip, ip)
+        .compile(),
+    )
+
+    # geometry sharding (TP analogue): per-shard compact tables, pmin/psum
+    # closest-hit combine, composed with pixel tiles
+    def _geom_thunk():
+        from pathtracing_tpu import models
+        from pathtracing_tpu.parallel.geomshard import (
+            build_shard_scenes,
+            make_geom_sharded_render,
+        )
+
+        host, _ = models.build("sphere_ground", TESTING)
+        gmesh = Mesh(
+            np.array(topo.devices).reshape(2, n_dev // 2), ("geom", "tiles")
+        )
+        stacked, _ = build_shard_scenes(host, TESTING, 2)
+        shg = NamedSharding(gmesh, P("geom"))
+        shp_g = NamedSharding(gmesh, P("tiles"))
+        stacked_specs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=shg),
+            stacked,
+        )
+        gp = jax.ShapeDtypeStruct(((n_dev // 2) * (1 << 13),), jnp.int32,
+                                  sharding=shp_g)
+        return (
+            make_geom_sharded_render(TESTING, gmesh, spp=4, tile_axis="tiles")
+            .lower(stacked_specs, gp, gp)
+            .compile()
+        )
+
+    check(f"geom-sharded 2x{n_dev // 2} render", _geom_thunk)
+
     # Pallas Mosaic lowering — documented-expected failure on current Mosaic
     from pathtracing_tpu.ops.pallas_traversal import ray_query_pallas
 
