@@ -109,8 +109,15 @@ def write_cornell_obj(path: str) -> None:
 
 
 @_register("cornell_box")
-def build(config: RenderConfig = TESTING, asset_dir: str | None = None):
-    """Returns (Scene, SceneDevice)."""
+def build(
+    config: RenderConfig = TESTING,
+    asset_dir: str | None = None,
+    emissive_nee: bool = True,
+):
+    """Returns (Scene, SceneDevice). emissive_nee=True (default) packs the
+    area-light tables so the integrator importance-samples the ceiling
+    panel (ops/arealights.py); False gives the reference-style BSDF-only
+    estimator (identical mean, far higher variance)."""
     asset_dir = asset_dir or tempfile.mkdtemp(prefix="cornell_")
     obj_path = os.path.join(asset_dir, "cornell.obj")
     if not os.path.exists(obj_path):
@@ -122,4 +129,4 @@ def build(config: RenderConfig = TESTING, asset_dir: str | None = None):
     # no sun: the ceiling panel is the only light (sky goes black too —
     # both the in-scatter and the sun-disk miss shading scale by the color)
     b.set_light(direction=(0, 1, 0), color=(0, 0, 0))
-    return b.build(config)
+    return b.build(config, emissive_nee=emissive_nee)

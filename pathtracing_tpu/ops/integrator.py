@@ -332,6 +332,17 @@ def path_trace_samples(
     shard-local geometry and combines the per-shard closest hits with mesh
     collectives (pmin/psum).
     """
+    # Area-light NEE (ops/arealights.py) auto-enables when the scene was
+    # packed with emissive_nee=True. Opt-in: it inserts one extra rand4 draw
+    # and one extra any-hit shadow ray per bounce (a DIFFERENT RNG stream
+    # from the bit-faithful default) and MIS-weights BSDF-sampled emission.
+    use_lights = getattr(scene, "lt_tris", None) is not None
+    if use_lights and query_shade is not None:
+        raise NotImplementedError(
+            "area-light NEE is not supported under a query_shade override "
+            "(geometry sharding packs shard scenes without light tables)"
+        )
+
     seed, subframe, light, tlas_count, tlas_offset, ray_o, ray_dir = (
         camera_sample(config, scene, xs, ys, sample_index)
     )
@@ -376,6 +387,14 @@ def path_trace_samples(
 
         seed, nee = nee_prepare(seed, light, info_now, view, active)
 
+        if use_lights:
+            from pathtracing_tpu.ops import arealights
+
+            seed, ua = rng.uniform4_masked(seed, active)
+            area = arealights.sample_area_light(
+                scene, ua, info_now, view, active
+            )
+
         seed, u = rng.uniform4_masked(seed, active)
         sample = sample_bsdf(
             Vec3(u.x, u.y, u.z), view, info_now.albedo, info_now.roughness,
@@ -393,29 +412,62 @@ def path_trace_samples(
         # argsort compaction can balance. RNG order is untouched — both
         # draws above happen before either trace result is consumed.
         R = active.shape[0]
-        cat = lambda a, b: jnp.concatenate([a, b])
-        cat3 = lambda a, b: Vec3(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
-        drain_args = (
-            scene,
-            cat(tlas_count, tlas_count),
-            cat(tlas_offset, tlas_offset),
-            cat3(info_now.pos, ray_o),
-            cat3(nee.light_dir, ray_dir),
-            config.min_ray_dist,
-            config.max_ray_dist,
-            cat(nee.shadow_active, active),
-        )
-        anyhit2 = cat(jnp.ones(R, bool), jnp.zeros(R, bool))
-        if query_shade is None:
-            hit2, occ2 = ray_query(*drain_args, anyhit=anyhit2)
-            occluded = occ2[:R]
-            bounce_hit = jax.tree.map(lambda a: a[R:], hit2)
-            info = shade_hit(scene, light, bounce_hit, ray_o, ray_dir)
-        else:
-            sc, tc2, to2, org2, dir2, tmn, tmx, act2 = drain_args
-            occluded, info = query_shade(
-                sc, light, tc2, to2, org2, dir2, tmn, tmx, act2, anyhit2, R
+        if use_lights:
+            # three rays per lane in one drain: sun shadow, area-light
+            # shadow (tmax clipped just short of the sampled point), bounce
+            cat = lambda *xs: jnp.concatenate(xs)
+            cat3 = lambda *vs: Vec3(
+                cat(*(v.x for v in vs)),
+                cat(*(v.y for v in vs)),
+                cat(*(v.z for v in vs)),
             )
+            far = jnp.full(R, config.max_ray_dist, jnp.float32)
+            hit3, occ3 = ray_query(
+                scene,
+                cat(tlas_count, tlas_count, tlas_count),
+                cat(tlas_offset, tlas_offset, tlas_offset),
+                cat3(info_now.pos, info_now.pos, ray_o),
+                cat3(nee.light_dir, area.wi, ray_dir),
+                config.min_ray_dist,
+                cat(far, area.dist * (1.0 - 1e-3), far),
+                cat(nee.shadow_active, area.shadow_active, active),
+                anyhit=cat(
+                    jnp.ones(2 * R, bool), jnp.zeros(R, bool)
+                ),
+            )
+            occluded = occ3[:R]
+            bounce_hit = jax.tree.map(lambda a: a[2 * R :], hit3)
+            info = shade_hit(scene, light, bounce_hit, ray_o, ray_dir)
+            contribution = contribution + where3(
+                active,
+                attenuation
+                * arealights.area_nee_color(area, occ3[R : 2 * R], active),
+                Vec3(zero, zero, zero),
+            )
+        else:
+            cat = lambda a, b: jnp.concatenate([a, b])
+            cat3 = lambda a, b: Vec3(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
+            drain_args = (
+                scene,
+                cat(tlas_count, tlas_count),
+                cat(tlas_offset, tlas_offset),
+                cat3(info_now.pos, ray_o),
+                cat3(nee.light_dir, ray_dir),
+                config.min_ray_dist,
+                config.max_ray_dist,
+                cat(nee.shadow_active, active),
+            )
+            anyhit2 = cat(jnp.ones(R, bool), jnp.zeros(R, bool))
+            if query_shade is None:
+                hit2, occ2 = ray_query(*drain_args, anyhit=anyhit2)
+                occluded = occ2[:R]
+                bounce_hit = jax.tree.map(lambda a: a[R:], hit2)
+                info = shade_hit(scene, light, bounce_hit, ray_o, ray_dir)
+            else:
+                sc, tc2, to2, org2, dir2, tmn, tmx, act2 = drain_args
+                occluded, info = query_shade(
+                    sc, light, tc2, to2, org2, dir2, tmn, tmx, act2, anyhit2, R
+                )
 
         nee_color = nee_finish(nee, light, info_now, occluded, active, config)
         contribution = contribution + where3(
@@ -445,10 +497,28 @@ def path_trace_samples(
         )
 
         inv_mis = jnp.where(jnp.isinf(mis_pdf), 0.0, 1.0 / mis_pdf)
+        emission = info.emission
+        if use_lights:
+            # the light-sampling half of the MIS pair: emission found by
+            # BSDF sampling is down-weighted by the pdf with which
+            # sample_area_light would have found the same point (delta
+            # lobes keep full weight — NEE cannot sample them)
+            pl = arealights.light_pdf_of_hit(
+                scene, bounce_hit.inst, bounce_hit.prim, ray_dir, info.thit,
+                bounce_hit.thit >= 0,
+            )
+            b2 = pdf_safe * pdf_safe
+            denom = b2 + pl * pl
+            w_area = jnp.where(
+                bsdf_pdf < 0,
+                1.0,
+                jnp.where(denom > 0, b2 / jnp.where(denom > 0, denom, 1.0), 1.0),
+            )
+            emission = emission * w_area
         contribution = contribution + where3(
             active,
             attenuation
-            * (in_scatter + atmo_att * info.albedo * info.emission)
+            * (in_scatter + atmo_att * info.albedo * emission)
             * inv_mis,
             Vec3(zero, zero, zero),
         )

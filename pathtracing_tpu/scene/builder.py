@@ -96,8 +96,12 @@ class SceneBuilder:
             ),
         )
 
-    def build(self, config: RenderConfig = TESTING):
-        """Builds the TLAS + subframes and returns (Scene, SceneDevice)."""
+    def build(self, config: RenderConfig = TESTING, emissive_nee: bool = False):
+        """Builds the TLAS + subframes and returns (Scene, SceneDevice).
+
+        emissive_nee=True packs the area-light NEE tables
+        (ops/arealights.py) so the integrator importance-samples emissive
+        triangles — opt-in because it changes the RNG stream."""
         s = self.scene
         if not s.instances:
             raise ValueError("no instances added")
@@ -127,6 +131,7 @@ class SceneBuilder:
             s.bvh_buf.links,
             s.instances,
             s.subframes,
+            emissive_nee=emissive_nee,
         )
         return s, device
 

@@ -44,6 +44,15 @@ class SceneDevice(NamedTuple):
     # bounds only widen the accept set; the exact triangle confirm rejects
     # the extras). None = disabled.
     nl5: Array | None = None
+    # Optional emissive-light tables (ops/arealights.py, enabled by
+    # pack_scene(..., emissive_nee=True)): presence switches the integrator
+    # to area-light NEE + MIS-weighted emission (a different, documented RNG
+    # stream — defaults stay bit-faithful to the reference).
+    lt_tris: Array | None = None   # (L, 9) world-space emissive triangles
+    lt_rows: Array | None = None   # (L,) global tri-table row per light
+    lt_cdf: Array | None = None    # (L,) inclusive area prefix sum
+    lt_seg: Array | None = None    # (I,) first light row per instance or -1
+    lt_rank: Array | None = None   # (T,) emissive rank per triangle or -1
 
 
 def _round_bf16_down(x: np.ndarray) -> np.ndarray:
@@ -170,14 +179,26 @@ def pack_scene(
     bvh_links: np.ndarray,
     instances,
     subframes,
+    emissive_nee: bool = False,
 ) -> SceneDevice:
     """Pack host scene state into device arrays.
 
     mesh_arrays: (indices, pos, normal, albedo, material) from
     MeshBuffers.arrays(). subframes: list of scene.types.Subframe.
+    emissive_nee=True additionally builds the area-light NEE tables
+    (ops/arealights.py) — the integrator auto-enables light sampling when
+    they are present (opt-in: it changes the RNG stream).
     """
     indices, pos, normal, albedo, material = mesh_arrays
     inst_f, inst_u = _instance_rows(instances)
+
+    lt = {}
+    if emissive_nee:
+        from pathtracing_tpu.ops.arealights import build_light_table
+
+        table = build_light_table(mesh_arrays, instances)
+        if table is not None:
+            lt = {k: jnp.asarray(v) for k, v in table.items()}
 
     segments = [(i.blas.node_offset, i.blas.node_count) for i in instances]
     segments += [(sf.tlas.node_offset, sf.tlas.node_count) for sf in subframes]
@@ -199,6 +220,7 @@ def pack_scene(
         sf_tlas_offset=dev(sf_tlas[:, 1]),
         sf_cam=dev(sf_cam),
         sf_light=dev(sf_light),
+        **lt,
     )
 
 

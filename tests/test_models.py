@@ -33,10 +33,10 @@ def test_preset_renders(name):
     assert np.isfinite(img).all()
     lit = float((img.sum(-1) > 1e-4).mean())
     if name == "cornell_box":
-        # no sun, no sky: light comes only from the emissive ceiling panel
-        # via BSDF sampling, so lit paths are rare but BRIGHT
+        # no sun, no sky: the emissive ceiling panel is the only light;
+        # area-light NEE (on by default) lights most interior pixels
         assert float(img.max()) > 1.0
-        assert lit > 0.0
+        assert lit > 0.2
     else:
         assert lit > 0.5
         assert 0.01 < float(img.mean()) < 10.0
