@@ -11,7 +11,10 @@ pixel's NEXT sample (camera ray) in the same iteration, so occupancy stays
 Semantics are the reference's exactly (reference: path_tracer.hh:637-741):
 each lane's draw sequence is film; [primary]; cond-atmo; then per bounce
 nee, bsdf, cond-atmo — identical to the scan renderer because seeds are
-per-lane and draws are masked. Per-pixel accumulation happens in sample
+per-lane and draws are masked. Scenes packed with emissive_nee=True get
+the same area-light NEE extension as the scan integrator (one extra
+masked draw + shadow ray per bounce, ops/arealights.py), again with a
+draw order identical to it. Per-pixel accumulation happens in sample
 order (a sample's contribution folds into the accumulator when its path
 dies), matching the tile renderer's addition order; residual differences
 are kernel-fusion ulps only (golden-tested in tests/test_wavefront.py).
@@ -99,6 +102,12 @@ def path_trace_wavefront(
     i32 = lambda v: jnp.full(R, v, jnp.int32)
     fz = jnp.zeros(R, jnp.float32)
     v0 = Vec3(fz, fz, fz)
+
+    # area-light NEE (ops/arealights.py): same opt-in and draw order as the
+    # scan integrator — one extra rand4 + one extra any-hit ray per bounce
+    use_lights = getattr(scene, "lt_tris", None) is not None
+    if use_lights:
+        from pathtracing_tpu.ops import arealights
 
     xs = jnp.asarray(xs, jnp.int32)
     ys = jnp.asarray(ys, jnp.int32)
@@ -196,6 +205,10 @@ def path_trace_wavefront(
 
         seed, nee = nee_prepare(seed, light, info_now, view, cont)
 
+        if use_lights:
+            seed, ua = rng.uniform4_masked(seed, cont)
+            area = arealights.sample_area_light(scene, ua, info_now, view, cont)
+
         seed, ub = rng.uniform4_masked(seed, cont)
         sample = sample_bsdf(
             Vec3(ub.x, ub.y, ub.z), view, info_now.albedo, info_now.roughness,
@@ -206,33 +219,60 @@ def path_trace_wavefront(
         ray_o = _sel3(rs, cam_o, _sel3(cont, s.info.pos, s.ray_o))
         ray_dir = _sel3(rs, cam_dir, _sel3(cont, b_dir, s.ray_dir))
 
-        # ---- one merged drain: shadow half (anyhit) + closest half ----
-        cat = lambda a, b: jnp.concatenate([a, b])
-        cat3 = lambda a, b: Vec3(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
+        # ---- one merged drain: shadow half/halves (anyhit) + closest ----
         tmin_closest = jnp.where(rs, 0.0, f32(config.min_ray_dist))
-        hit2, occ2 = ray_query(
-            scene,
-            cat(tlas_count, tlas_count),
-            cat(tlas_offset, tlas_offset),
-            cat3(info_now.pos, ray_o),
-            cat3(nee.light_dir, ray_dir),
-            cat(jnp.full(R, config.min_ray_dist, jnp.float32), tmin_closest),
-            config.max_ray_dist,
-            cat(nee.shadow_active, live),
-            anyhit=cat(jnp.ones(R, bool), jnp.zeros(R, bool)),
-        )
-        occluded = occ2[:R]
-        new_info = shade_hit(
-            scene, light,
-            jax.tree.map(lambda a: a[R:], hit2),
-            ray_o, ray_dir,
-        )
+        near = jnp.full(R, config.min_ray_dist, jnp.float32)
+        far = jnp.full(R, config.max_ray_dist, jnp.float32)
+        if use_lights:
+            cat = lambda *xs: jnp.concatenate(xs)
+            cat3 = lambda *vs: Vec3(
+                cat(*(v.x for v in vs)),
+                cat(*(v.y for v in vs)),
+                cat(*(v.z for v in vs)),
+            )
+            hitq, occq = ray_query(
+                scene,
+                cat(tlas_count, tlas_count, tlas_count),
+                cat(tlas_offset, tlas_offset, tlas_offset),
+                cat3(info_now.pos, info_now.pos, ray_o),
+                cat3(nee.light_dir, area.wi, ray_dir),
+                cat(near, near, tmin_closest),
+                cat(far, area.dist * (1.0 - 1e-3), far),
+                cat(nee.shadow_active, area.shadow_active, live),
+                anyhit=cat(jnp.ones(2 * R, bool), jnp.zeros(R, bool)),
+            )
+            n_shadow = 2 * R
+        else:
+            cat = lambda a, b: jnp.concatenate([a, b])
+            cat3 = lambda a, b: Vec3(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
+            hitq, occq = ray_query(
+                scene,
+                cat(tlas_count, tlas_count),
+                cat(tlas_offset, tlas_offset),
+                cat3(info_now.pos, ray_o),
+                cat3(nee.light_dir, ray_dir),
+                cat(near, tmin_closest),
+                config.max_ray_dist,
+                cat(nee.shadow_active, live),
+                anyhit=cat(jnp.ones(R, bool), jnp.zeros(R, bool)),
+            )
+            n_shadow = R
+        occluded = occq[:R]
+        bounce_hit = jax.tree.map(lambda a: a[n_shadow:], hitq)
+        new_info = shade_hit(scene, light, bounce_hit, ray_o, ray_dir)
 
         # NEE contribution lands before the bounce term (scan-body order)
         nee_color = nee_finish(nee, light, info_now, occluded, cont, config)
         cur = s.cur + where3(
             cont, s.attenuation * nee_color, Vec3(zero, zero, zero)
         )
+        if use_lights:
+            cur = cur + where3(
+                cont,
+                s.attenuation
+                * arealights.area_nee_color(area, occq[R : 2 * R], cont),
+                Vec3(zero, zero, zero),
+            )
 
         # ---- atmosphere (conditional draw) + contribution ----
         seed, atmo_att, in_scatter = atmosphere_scattering(
@@ -262,9 +302,26 @@ def path_trace_wavefront(
         # throughput starts at the atmosphere attenuation
         # (reference: path_tracer.hh:686-693)
         prim_term = in_scatter + atmo_att * new_info.albedo * new_info.emission
+        emission = new_info.emission
+        if use_lights:
+            # light-sampling half of the MIS pair for BSDF-sampled emission
+            # hits (primary hits keep full weight via prim_term above)
+            pl = arealights.light_pdf_of_hit(
+                scene, bounce_hit.inst, bounce_hit.prim, ray_dir,
+                new_info.thit, bounce_hit.thit >= 0,
+            )
+            b2 = pdf_safe * pdf_safe
+            denom_w = b2 + pl * pl
+            emission = emission * jnp.where(
+                bsdf_pdf < 0,
+                1.0,
+                jnp.where(
+                    denom_w > 0, b2 / jnp.where(denom_w > 0, denom_w, 1.0), 1.0
+                ),
+            )
         bounce_term = (
             attenuation
-            * (in_scatter + atmo_att * new_info.albedo * new_info.emission)
+            * (in_scatter + atmo_att * new_info.albedo * emission)
             * inv_mis
         )
         cur = cur + where3(

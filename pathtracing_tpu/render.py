@@ -139,11 +139,6 @@ def render_pixels(
     spp = spp or config.samples_per_pixel
     if tile_pixels is None:
         tile_pixels = default_tile_pixels(scene)
-    if wavefront and getattr(scene, "lt_tris", None) is not None:
-        raise NotImplementedError(
-            "area-light NEE (emissive_nee scenes) is only implemented in "
-            "the scan integrator; render with wavefront=False"
-        )
     if wavefront:
         kernel = lambda txs, tys: _render_tile_wavefront(
             config, scene, txs, tys, spp, int(sample_base)

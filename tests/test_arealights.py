@@ -117,10 +117,33 @@ def test_cornell_variance_reduction():
     assert mse_a < mse_b / 1.4, (mse_a, mse_b)
 
 
-def test_wavefront_rejects_light_scenes():
+def test_wavefront_matches_scan_with_lights():
+    """The wavefront renderer implements the identical light-sampling draw
+    order: per-pixel sums match the scan integrator to fusion ulps (same
+    gate as tests/test_wavefront.py)."""
+    from pathtracing_tpu.ops.integrator import path_trace_samples
+    from pathtracing_tpu.ops.wavefront import path_trace_wavefront
+
     _, dev = _build_panel(True)
-    with pytest.raises(NotImplementedError):
-        render_pixels(
-            CFG, dev, jnp.zeros(8, jnp.int32), jnp.zeros(8, jnp.int32),
-            spp=1, wavefront=True,
-        )
+    rng = np.random.default_rng(7)
+    n = 256
+    xs = jnp.asarray(rng.integers(0, CFG.image_width, n), jnp.int32)
+    ys = jnp.asarray(rng.integers(0, CFG.image_height, n), jnp.int32)
+    spp = 4
+
+    acc = [jnp.zeros(n, jnp.float32) for _ in range(3)]
+    for j in range(spp):
+        si = jnp.full(n, j, jnp.int32)
+        c = path_trace_samples(CFG, dev, xs, ys, si)
+        acc = [acc[0] + c.x, acc[1] + c.y, acc[2] + c.z]
+    ref = np.stack([np.asarray(a) for a in acc], -1)
+
+    wf = path_trace_wavefront(CFG, dev, xs, ys, spp)
+    got = np.stack([np.asarray(wf.x), np.asarray(wf.y), np.asarray(wf.z)], -1)
+
+    finite = np.isfinite(ref).all(-1)
+    assert finite.mean() > 0.99
+    close = (
+        np.abs(got[finite] - ref[finite]) <= 2e-4 + 2e-4 * np.abs(ref[finite])
+    ).all(-1)
+    assert close.mean() > 0.97, close.mean()
