@@ -1,0 +1,455 @@
+"""Wide-BVH "mega-table" builder: the TPU-native traversal layout.
+
+Motivation (BENCH_NOTES.md round-2 cost model): on the v5e every per-lane
+random row gather costs ~3-10 ns regardless of row width up to >=576 B, so
+traversal throughput is set by GATHERED ROWS PER RAY and nothing else. The
+binary octant-link walk (ops/traversal.py) gathers ~57 rows/ray; this layout
+gathers one 192 B row per *wide* step:
+
+  * WIDE rows: 8 slots, each a whole binary subtree root -- one gather
+    slab-tests 8 children (3 binary levels) at once;
+  * LEAF rows: 4 triangles inline (vertices + prim ids) -- one gather per
+    4 triangle tests, chained for bigger bundles;
+  * INST rows: instance transform + per-octant BLAS entry links -- one
+    gather per TLAS->BLAS descent.
+
+All three row kinds live in ONE (M, 48) f32 table so every traversal step
+issues exactly one gather; the row kind is carried in the cursor's tag bits.
+
+Bit-exactness: wide nodes are built by collapsing the *reference* binary
+tree (reconstructed per octant from the golden-tested stackless link
+tables, reference: bvh.cc:170-226), with slots kept in that octant's binary
+DFS order and static exit links to the DFS successor. Skipping the interior
+binary AABB tests only ever *adds* encountered candidates: a subtree the
+binary walk culls is culled either because the ray misses its AABB (then
+every triangle inside misses too) or because near > tmax (then every hit
+inside fails the strict t < tmax confirm). Slot AABBs are bf16
+outward-rounded (the proven pack_nl5 trick, scene/device.py), which also
+only widens the encounter set. Hence the *confirmed-candidate sequence* is
+identical to the reference walk and closest/any-hit results are
+bit-identical (tests/test_wide.py). Sole caveat: triangles inside one LEAF
+bundle are tested in canonical (forward) order rather than the octant's
+flipped order, so two candidates with *exactly* equal t could tie-break
+differently -- golden-tested to not occur.
+
+Cursor / link encoding (uint32):
+  bits 30..31  kind: 0=WIDE 1=LEAF 2=INST 3=sentinel
+  bits  3..29  row index into the mega table
+  bits  0..2   start slot (WIDE re-entry; zero otherwise)
+  sentinels: END_TLAS (lane done), END_BLAS (pop to the TLAS resume cursor)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+f32 = np.float32
+u32 = np.uint32
+
+W_ROW = 48           # f32 columns per mega-table row (192 B)
+N_SLOTS = 8          # slots per wide node
+LEAF_TRIS = 4        # triangles per leaf row
+KIND_WIDE = 0
+KIND_LEAF = 1
+KIND_INST = 2
+KIND_SENTINEL = 3
+END_TLAS = u32((3 << 30) | 0)
+END_BLAS = u32((3 << 30) | 1)
+_LEAF_BIT = u32(0x80000000)
+_INVALID = u32(0xFFFFFFFF)
+
+# wide-row column layout
+#   0..23   8 slots x 3 f32 of packed bf16 AABB halves
+#   24..31  8 slot links (u32 bit patterns)
+#   32      exit link (u32)
+# leaf-row column layout
+#   0..35   4 triangles x 9 f32 mesh-space vertices
+#   36..39  4 prim ids (int32 bits; -1 = empty)
+#   40      next link (u32): next chained leaf row or RETURN sentinel
+# inst-row column layout
+#   0..11   inverse transform columns (as scene/device.py inst_f[:, :12])
+#   12..19  8 per-octant BLAS entry links (u32)
+#   20      instance id (int32 bits)
+
+RETURN_SENTINEL = u32((3 << 30) | 2)   # leaf chain end -> leaf_resume
+
+
+def make_cursor(kind: int, row: int, slot: int = 0) -> int:
+    assert 0 <= row < (1 << 27) and 0 <= slot < 8
+    return u32((kind << 30) | (row << 3) | slot)
+
+
+@dataclass
+class _Group:
+    """A slot candidate: one binary node, or a contiguous run of siblings
+    (virtual node used when a multi-leaf node has > N_SLOTS children)."""
+
+    nodes: list                    # binary node indices (len 1 normally)
+    bmin: np.ndarray
+    bmax: np.ndarray
+    children: list = field(default_factory=list)   # child _Groups, DFS order
+    payload: int = -1              # binary leaf payload (tri/instance id)
+    tri_count: int = 0             # total leaves under this group
+
+    @property
+    def is_leaf(self) -> bool:
+        return self.payload >= 0 and not self.children
+
+
+def _binary_children(links, v, nodes6):
+    """Recover node v's children (that octant's DFS order) from the
+    stackless link table: accept(v) = first child, then each child's
+    cancel link chains to the next sibling until it equals cancel(v)
+    (reference: bvh.cc:170-193 save_traversal_links)."""
+    accept, cancel = int(links[v, 0]), int(links[v, 1])
+    if accept & 0x80000000:
+        return None  # leaf
+    out = []
+    c = accept
+    while True:
+        out.append(c)
+        nxt = int(links[c, 1])
+        if nxt == cancel:
+            break
+        c = nxt
+        if len(out) > len(links):
+            raise RuntimeError("cyclic link chain")
+    return out
+
+
+def _group_of(links, nodes6, v) -> _Group:
+    n6 = nodes6[v]
+    kids = _binary_children(links, v, nodes6)
+    g = _Group([v], n6[0:3].copy(), n6[3:6].copy())
+    if kids is None:
+        g.payload = int(links[v, 0] & 0x7FFFFFFF)
+        g.tri_count = 1
+        return g
+    g.children = [_group_of(links, nodes6, c) for c in kids]
+    g.tri_count = sum(c.tri_count for c in g.children)
+    return g
+
+
+def _split_group(children, lo, hi) -> _Group:
+    """Virtual node over children[lo:hi] (contiguous DFS run)."""
+    sub = children[lo:hi]
+    if len(sub) == 1:
+        return sub[0]
+    g = _Group(
+        nodes=sum((c.nodes for c in sub), []),
+        bmin=np.min([c.bmin for c in sub], axis=0),
+        bmax=np.max([c.bmax for c in sub], axis=0),
+    )
+    g.children = sub
+    g.tri_count = sum(c.tri_count for c in sub)
+    return g
+
+
+def _expand_slots(root: _Group, max_slots: int) -> list:
+    """Slot list for a wide node rooted at ``root``: expand groups
+    breadth-first (shallowest first) while the slot count stays within
+    max_slots; DFS order is preserved because every expansion replaces a
+    slot by its children in place."""
+    kids = root.children
+    if not kids:
+        return [root]          # degenerate: root itself is a leaf
+    if len(kids) > max_slots:
+        # split the DFS chain into max_slots contiguous runs
+        bounds = np.linspace(0, len(kids), max_slots + 1).astype(int)
+        slots = [
+            _split_group(kids, bounds[i], bounds[i + 1])
+            for i in range(max_slots)
+            if bounds[i] < bounds[i + 1]
+        ]
+    else:
+        slots = list(kids)
+    depth = {id(s): 1 for s in slots}
+    while True:
+        best = None
+        for i, s in enumerate(slots):
+            if s.is_leaf or not s.children:
+                continue
+            k = len(s.children)
+            if k <= max_slots - len(slots) + 1:
+                d = depth[id(s)]
+                if best is None or d < best[1] or (d == best[1] and i < best[0]):
+                    best = (i, d)
+        if best is None:
+            return slots
+        i, d = best
+        s = slots[i]
+        slots[i : i + 1] = s.children
+        for c in s.children:
+            depth[id(c)] = d + 1
+
+
+def _round_bf16(x, up: bool) -> u32:
+    bits = np.asarray(x, f32).view(u32) if isinstance(x, np.ndarray) else (
+        np.array([x], f32).view(u32)
+    )
+    bits = np.atleast_1d(bits)
+    inexact = (bits & u32(0xFFFF)) != 0
+    trunc = bits >> 16
+    neg = (bits >> 31).astype(bool)
+    grow = inexact & (neg != up)
+    return (trunc + grow.astype(u32))[0]
+
+
+def _pack_slot_aabb(bmin, bmax):
+    """3 packed f32: [minx|miny],[minz|maxx],[maxy|maxz], min rounded down,
+    max rounded up (value-preserving bf16 halves, as scene/device.pack_nl5)."""
+    lo = [_round_bf16(bmin[i], up=False) for i in range(3)]
+    hi = [_round_bf16(bmax[i], up=True) for i in range(3)]
+    six = [lo[0], lo[1], lo[2], hi[0], hi[1], hi[2]]
+    packed = np.array(
+        [(six[0] << 16) | six[1], (six[2] << 16) | six[3],
+         (six[4] << 16) | six[5]],
+        u32,
+    )
+    return packed.view(f32)
+
+
+_EMPTY_SLOT_AABB = None
+
+
+def _empty_slot_aabb():
+    global _EMPTY_SLOT_AABB
+    if _EMPTY_SLOT_AABB is None:
+        inf = np.array([np.inf, np.inf, np.inf], f32)
+        _EMPTY_SLOT_AABB = _pack_slot_aabb(inf, -inf)
+    return _EMPTY_SLOT_AABB
+
+
+class WideBuilder:
+    """Accumulates mega-table rows for one scene."""
+
+    def __init__(self, leaf_bundle: int = 8):
+        self.rows: list = []          # list of np (W_ROW,) f32
+        self.fixups: list = []        # (row, col, cursor-lambda) deferred links
+        self.leaf_bundle = leaf_bundle
+
+    def _alloc(self) -> int:
+        self.rows.append(np.zeros(W_ROW, f32))
+        return len(self.rows) - 1
+
+    # -- leaf rows (canonical order, shared across octants) ----------------
+
+    def build_leaf_chain(self, prims, tri_pos_lookup) -> int:
+        """Rows for a bundle of triangles; returns the first row id.
+        prims: list of mesh-local prim ids in canonical DFS order.
+        tri_pos_lookup(prim) -> (9,) mesh-space vertices."""
+        first = None
+        prev = None
+        for lo in range(0, len(prims), LEAF_TRIS):
+            rid = self._alloc()
+            row = self.rows[rid]
+            batch = prims[lo : lo + LEAF_TRIS]
+            for k, p in enumerate(batch):
+                row[9 * k : 9 * k + 9] = tri_pos_lookup(p)
+            ids = np.full(LEAF_TRIS, -1, np.int32)
+            ids[: len(batch)] = batch
+            row[36:40] = ids.view(f32)
+            row[40] = np.array([RETURN_SENTINEL], u32).view(f32)[0]
+            if first is None:
+                first = rid
+            if prev is not None:
+                self.rows[prev][40] = np.array(
+                    [make_cursor(KIND_LEAF, rid)], u32
+                ).view(f32)[0]
+            prev = rid
+        return first
+
+    # -- instance rows -----------------------------------------------------
+
+    def build_inst_row(self, inv_transform_cols12, inst_id: int,
+                       blas_entry_by_oct) -> int:
+        """blas_entry_by_oct: list of 8 cursors (filled later via fixup if
+        the BLAS trees are built after; pass callables for deferral)."""
+        rid = self._alloc()
+        row = self.rows[rid]
+        row[0:12] = np.asarray(inv_transform_cols12, f32)
+        for o in range(8):
+            e = blas_entry_by_oct[o]
+            if callable(e):
+                self.fixups.append((rid, 12 + o, e))
+            else:
+                row[12 + o] = np.array([u32(e)], u32).view(f32)[0]
+        row[20] = np.array([np.int32(inst_id)], np.int32).view(f32)[0]
+        return rid
+
+    # -- wide trees --------------------------------------------------------
+
+    def build_wide_tree(
+        self, links, nodes6, root: int, leaf_target, exit_cursor,
+    ) -> int:
+        """Wide rows for one octant of one binary tree.
+
+        links: (n, 2) u32 octant link table; nodes6: (n, 6) AABBs;
+        leaf_target(payload, tri_count_group) -> cursor for a leaf slot
+        (either a LEAF-chain cursor for triangles or an INST cursor);
+        exit_cursor: where the walk goes when the whole tree is exhausted
+        (END_BLAS for a BLAS, END_TLAS for a TLAS).
+        Returns the root row id.
+        """
+        root_group = _group_of(links, nodes6, root)
+        return self._emit_wide(root_group, leaf_target, exit_cursor)
+
+    def _emit_wide(self, group: _Group, leaf_target, exit_cursor) -> int:
+        rid = self._alloc()
+        row = self.rows[rid]
+        slots = _expand_slots(group, N_SLOTS)
+        assert len(slots) <= N_SLOTS
+        u = np.zeros(9, u32)   # 8 slot links + exit
+        for j in range(N_SLOTS):
+            if j < len(slots):
+                s = slots[j]
+                row[3 * j : 3 * j + 3] = _pack_slot_aabb(s.bmin, s.bmax)
+            else:
+                row[3 * j : 3 * j + 3] = _empty_slot_aabb()
+                u[j] = _INVALID
+        for j, s in enumerate(slots):
+            if s.is_leaf or (0 < s.tri_count <= self.leaf_bundle):
+                u[j] = leaf_target(self._collect_prims(s), s)
+            else:
+                child = self._emit_wide(s, leaf_target, exit_cursor)
+                u[j] = make_cursor(KIND_WIDE, child)
+                # child's exit: resume this row at slot j+1 (overwrites the
+                # exit_cursor the recursive emit stored); when j was the
+                # last populated slot a re-entry would find nothing, so
+                # forward directly to this row's own exit (fixup: our exit
+                # may itself be patched by OUR parent after we return)
+                if j + 1 < len(slots):
+                    self.rows[child][32] = np.array(
+                        [make_cursor(KIND_WIDE, rid, j + 1)], u32
+                    ).view(f32)[0]
+                else:
+                    self.fixups.append((child, 32, ("copy_exit", rid)))
+        row[24:32] = u[:8].view(f32)
+        row[32] = np.array([u32(exit_cursor)], u32).view(f32)[0]
+        return rid
+
+    def _collect_prims(self, g: _Group) -> list:
+        if g.is_leaf:
+            return [g.payload]
+        out = []
+        for c in g.children:
+            out.extend(self._collect_prims(c))
+        return out
+
+    def finalize(self) -> np.ndarray:
+        # reverse order: copy_exit fixups for ancestors are inserted after
+        # their descendants', and a descendant must copy the ancestor's
+        # exit only after the ancestor's own exit has been patched
+        for rid, col, spec in reversed(self.fixups):
+            if callable(spec):
+                val = u32(spec())
+            elif isinstance(spec, tuple) and spec[0] == "copy_exit":
+                val = np.asarray(self.rows[spec[1]][32], f32).view(u32)[()]
+            else:
+                raise ValueError(spec)
+            self.rows[rid][col] = np.array([val], u32).view(f32)[0]
+        self.fixups = []
+        if not self.rows:
+            return np.zeros((1, W_ROW), f32)
+        return np.stack(self.rows)
+
+
+def build_wide_tables(
+    mesh_arrays,
+    bvh_nodes: np.ndarray,
+    bvh_links: np.ndarray,
+    instances,
+    subframes,
+    leaf_bundle: int = 8,
+):
+    """Mega-table for a packed scene (same inputs as scene/device.pack_scene).
+
+    Returns (mega (M, 48) f32, root_by_off (max_tlas_offset+1, 8) int32 —
+    per-octant TLAS root cursors indexed by tlas node_offset, the handle the
+    traversal already carries per lane).
+    """
+    import sys
+
+    if sys.getrecursionlimit() < 100000:
+        sys.setrecursionlimit(100000)
+    b = WideBuilder(leaf_bundle=leaf_bundle)
+    nodes = np.asarray(bvh_nodes, f32)
+    links_all = np.ascontiguousarray(bvh_links, u32)
+    indices, pos = mesh_arrays[0], mesh_arrays[1]
+
+    # ---- BLAS wide trees (8 octants each), one per distinct mesh/blas ----
+    blas_roots: dict = {}        # (node_offset, node_count) -> (8,) cursors
+    leaf_cache: dict = {}
+
+    def mesh_leaf_chain(mesh, prims):
+        # canonical (sorted) order so all 8 octants share one chain; within
+        # a bundle only exact-t ties could observe the order (see docstring)
+        prims = sorted(prims)
+        key = (mesh.index_offset, tuple(prims))
+        if key not in leaf_cache:
+            def tri9(p):
+                tri = indices[
+                    mesh.index_offset + 3 * p : mesh.index_offset + 3 * p + 3
+                ].astype(np.int64) + mesh.base_vertex_offset
+                return pos[tri].reshape(9)
+            leaf_cache[key] = b.build_leaf_chain(list(prims), tri9)
+        return make_cursor(KIND_LEAF, leaf_cache[key])
+
+    inst_rows = []
+    for inst_id, inst in enumerate(instances):
+        blas = inst.blas
+        mesh = inst.mesh
+        key = (blas.node_offset, blas.node_count)
+        if key not in blas_roots:
+            cursors = np.zeros(8, u32)
+            for o in range(8):
+                lo = 8 * blas.node_offset + o * blas.node_count
+                links = links_all[lo : lo + blas.node_count]
+                n6 = nodes[blas.node_offset : blas.node_offset + blas.node_count]
+
+                def leaf_target(prims, group, mesh=mesh):
+                    return mesh_leaf_chain(mesh, prims)
+
+                rid = b.build_wide_tree(links, n6, 0, leaf_target, END_BLAS)
+                cursors[o] = make_cursor(KIND_WIDE, rid)
+            blas_roots[key] = cursors
+        inv12 = np.asarray(inst.inv_transform, f32)[:, 0:3].reshape(-1)
+        inst_rows.append(
+            b.build_inst_row(inv12, inst_id, list(blas_roots[key]))
+        )
+
+    # ---- TLAS wide trees ------------------------------------------------
+    tlas_cache = {}
+    max_off = 0
+    for sf in subframes:
+        tl = sf.tlas
+        max_off = max(max_off, tl.node_offset)
+        key = (tl.node_offset, tl.node_count)
+        if key in tlas_cache or tl.node_count == 0:
+            continue
+        cursors = np.zeros(8, u32)
+        for o in range(8):
+            lo = 8 * tl.node_offset + o * tl.node_count
+            links = links_all[lo : lo + tl.node_count]
+            n6 = nodes[tl.node_offset : tl.node_offset + tl.node_count]
+
+            def leaf_target(prims, group):
+                assert len(prims) == 1, "instance slots are not bundled"
+                return make_cursor(KIND_INST, inst_rows[prims[0]])
+
+            # instance leaves must never bundle: disable via leaf_bundle=0
+            saved = b.leaf_bundle
+            b.leaf_bundle = 0
+            rid = b.build_wide_tree(links, n6, 0, leaf_target, END_TLAS)
+            b.leaf_bundle = saved
+            cursors[o] = make_cursor(KIND_WIDE, rid)
+        tlas_cache[key] = cursors
+
+    root_by_off = np.full((max_off + 1, 8), END_TLAS, u32)
+    for (off, _cnt), cursors in tlas_cache.items():
+        root_by_off[off] = cursors
+
+    mega = b.finalize()
+    return mega, root_by_off.view(np.int32)

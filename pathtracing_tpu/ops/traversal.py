@@ -265,6 +265,22 @@ def ray_query(
     step), removing the per-step lax.cond dispatch; bit-identical.
     ``None`` = ``DEFAULT_UNROLL``.
     """
+    # Wide mega-table fast path (accel/wide.py + ops/wide_traversal.py):
+    # one 192 B row gather per step, bit-identical results. Bounded runs /
+    # state returns are knobs of the binary walk only, so those callers
+    # (perf tooling, the Pallas kernel body) keep the binary path.
+    if (
+        getattr(scene, "wide_rows", None) is not None
+        and max_steps is None
+        and not return_state
+    ):
+        from pathtracing_tpu.ops.wide_traversal import wide_ray_query
+
+        return wide_ray_query(
+            scene, tlas_count, tlas_offset, org, d, tmin, tmax0, active,
+            anyhit=anyhit,
+        )
+
     # Scene-scale-adaptive defaults. Node count is static under jit, so this
     # is a trace-time constant. Large scenes (the full animated scene:
     # ~600k nodes, instance-heavy, deep BLAS descents — measured step

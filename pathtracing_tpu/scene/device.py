@@ -44,6 +44,12 @@ class SceneDevice(NamedTuple):
     # bounds only widen the accept set; the exact triangle confirm rejects
     # the extras). None = disabled.
     nl5: Array | None = None
+    # Optional wide-BVH mega-table (accel/wide.py): when present, traversal
+    # uses ops/wide_traversal.py — one 192 B row gather per step instead of
+    # the binary octant-link walk. Results are bit-identical (the wide tree
+    # is a DFS-order-preserving collapse of the same binary tree).
+    wide_rows: Array | None = None   # (M, 48) f32 mega-table
+    wide_root: Array | None = None   # (max_tlas_offset+1, 8) int32 cursors
     # Optional emissive-light tables (ops/arealights.py, enabled by
     # pack_scene(..., emissive_nee=True)): presence switches the integrator
     # to area-light NEE + MIS-weighted emission (a different, documented RNG
@@ -173,6 +179,27 @@ def pack_vattr(normal, albedo, material) -> np.ndarray:
     return out
 
 
+def attach_wide(
+    scene: "SceneDevice",
+    mesh_arrays,
+    bvh_nodes,
+    bvh_links,
+    instances,
+    subframes,
+    leaf_bundle: int = 8,
+) -> "SceneDevice":
+    """Attach the wide-BVH mega-table (accel/wide.py) to a packed scene."""
+    from pathtracing_tpu.accel.wide import build_wide_tables
+
+    mega, root_by_off = build_wide_tables(
+        mesh_arrays, bvh_nodes, bvh_links, instances, subframes,
+        leaf_bundle=leaf_bundle,
+    )
+    return scene._replace(
+        wide_rows=jnp.asarray(mega), wide_root=jnp.asarray(root_by_off)
+    )
+
+
 def pack_scene(
     mesh_arrays,
     bvh_nodes: np.ndarray,
@@ -180,6 +207,8 @@ def pack_scene(
     instances,
     subframes,
     emissive_nee: bool = False,
+    wide: bool = False,
+    leaf_bundle: int = 8,
 ) -> SceneDevice:
     """Pack host scene state into device arrays.
 
@@ -209,7 +238,7 @@ def pack_scene(
         indices, pos, [i.mesh for i in instances]
     )
     dev = jnp.asarray
-    return SceneDevice(
+    scene = SceneDevice(
         nl8=dev(pack_nl8(bvh_nodes, bvh_links, segments)),
         tri_pos=dev(tri_pos),
         tri_idx=dev(tri_idx),
@@ -222,6 +251,12 @@ def pack_scene(
         sf_light=dev(sf_light),
         **lt,
     )
+    if wide:
+        scene = attach_wide(
+            scene, mesh_arrays, bvh_nodes, bvh_links, instances, subframes,
+            leaf_bundle=leaf_bundle,
+        )
+    return scene
 
 
 def _subframe_rows(subframes):

@@ -69,7 +69,9 @@ def light_from_golden(g) -> DirectionalLight:
     )
 
 
-def scene_device_from_golden(g, config=TESTING) -> SceneDevice:
+def scene_device_from_golden(
+    g, config=TESTING, wide: bool = False, leaf_bundle: int = 8
+) -> SceneDevice:
     instances = [
         _GoldenInstance(g["instances_u"][i], g["instances_f"][i])
         for i in range(len(g["instances_u"]))
@@ -85,7 +87,10 @@ def scene_device_from_golden(g, config=TESTING) -> SceneDevice:
         g["albedo"],
         g["material"],
     )
-    return pack_scene(mesh_arrays, g["nodes"], g["links"], instances, subframes)
+    return pack_scene(
+        mesh_arrays, g["nodes"], g["links"], instances, subframes,
+        wide=wide, leaf_bundle=leaf_bundle,
+    )
 
 
 # ---------------------------------------------------------------------------
