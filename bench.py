@@ -64,8 +64,12 @@ def main():
     from pathtracing_tpu.utils.goldenio import load_golden
     from golden_scene import scene_device_from_golden
 
+    # wide=True attaches the mega-table traversal (accel/wide.py) — the
+    # TPU-native fast path, bit-identical results; PT_WIDE=0 reverts to the
+    # binary octant-link walk for A/B.
     scene = scene_device_from_golden(
-        load_golden(str(_REPO / "tests" / "golden" / "scene.gold"))
+        load_golden(str(_REPO / "tests" / "golden" / "scene.gold")),
+        wide=os.environ.get("PT_WIDE", "1") == "1",
     )
 
     # tuning knobs (results are bit-identical under all of these; see
