@@ -99,9 +99,20 @@ def main():
 
         scene = with_bf16_nodes(scene)
     from pathtracing_tpu.render import default_tile_pixels
+    from pathtracing_tpu import render as _render
 
     v = os.environ.get("PT_TILE")
     tile_pixels = int(v) if v else default_tile_pixels(scene)
+    # megakernel knobs: PT_MK=0 disables the persistent-lane megakernel
+    # (auto-selected on TPU when the scene has wide tables);
+    # PT_MK_LANES / PT_MK_LEAF override the tuning-table optima.
+    mk = None if os.environ.get("PT_MK", "1") == "1" else False
+    v = os.environ.get("PT_MK_LANES")
+    if v:
+        _render.DEFAULT_MK_LANES = int(v)
+    v = os.environ.get("PT_MK_LEAF")
+    if v:
+        _render.DEFAULT_MK_LEAF = int(v)
 
     W, H = TESTING.image_width, TESTING.image_height
     spp = 8
@@ -136,13 +147,16 @@ def main():
         )
         return
 
-    # warmup/compile on a tile
-    render_pixels(TESTING, scene, xs[:tile_pixels], ys[:tile_pixels], spp=spp,
-                  tile_pixels=tile_pixels, wavefront=True)
+    # warmup/compile: identical statics to the timed call (the megakernel
+    # compiles per (n_pixels, spp, lanes, leaf), so a tile-sized warmup
+    # would leave the real kernel cold)
+    render_pixels(TESTING, scene, xs, ys, spp=spp,
+                  tile_pixels=tile_pixels, wavefront=True, megakernel=mk)
 
     t0 = time.perf_counter()
     colors = render_pixels(TESTING, scene, xs, ys, spp=spp,
-                           tile_pixels=tile_pixels, wavefront=True)
+                           tile_pixels=tile_pixels, wavefront=True,
+                           megakernel=mk)
     dt = time.perf_counter() - t0
     assert np.isfinite(colors).all()
 

@@ -93,8 +93,18 @@ def trace_ray(
     return shade_hit(scene, light, hit, origin, d)
 
 
-def shade_hit(scene, light: LightParams, hit, origin: Vec3, d: Vec3) -> HitInfo:
-    """Shading fetch for a closest-hit result (reference: path_tracer.hh:356-412)."""
+def shade_hit(
+    scene, light: LightParams, hit, origin: Vec3, d: Vec3,
+    packed: bool = False,
+) -> HitInfo:
+    """Shading fetch for a closest-hit result (reference: path_tracer.hh:356-412).
+
+    packed=True reads the (T, 48) tri_shade rows (scene/device.py
+    pack_tri_shade): one gather instead of five, and ``hit.back`` is
+    re-derived from the watertight test instead of trusted — used by the
+    forward-only renderers. The default path gathers the per-vertex tables
+    so gradients land on vattr/tri_pos (diff/render.py).
+    """
     miss = hit.thit < 0
 
     # ---- miss: sun disk (reference: path_tracer.hh:356-366) ----
@@ -110,10 +120,17 @@ def shade_hit(scene, light: LightParams, hit, origin: Vec3, d: Vec3) -> HitInfo:
     ui = scene.inst_u[iidx]
     fi = scene.inst_f[iidx]
     tri_row = ui[:, 4] + jnp.where(miss, 0, hit.prim)
-    ti = scene.tri_idx[tri_row]  # (R, 4) absolute vertex ids
-    a0 = scene.vattr[ti[:, 0]]  # (R, 12): normal, albedo, material
-    a1 = scene.vattr[ti[:, 1]]
-    a2 = scene.vattr[ti[:, 2]]
+    if packed:
+        assert scene.tri_shade is not None
+        ts_row = scene.tri_shade[tri_row]  # (R, 48)
+        a0 = ts_row[:, 0:11]
+        a1 = ts_row[:, 11:22]
+        a2 = ts_row[:, 22:33]
+    else:
+        ti = scene.tri_idx[tri_row]  # (R, 4) absolute vertex ids
+        a0 = scene.vattr[ti[:, 0]]  # (R, 12): normal, albedo, material
+        a1 = scene.vattr[ti[:, 1]]
+        a2 = scene.vattr[ti[:, 2]]
 
     # Differentiable re-derivation of (u, v, t) at fixed topology: the
     # traversal is discrete (stop_gradient), so the watertight test is
@@ -132,13 +149,17 @@ def shade_hit(scene, light: LightParams, hit, origin: Vec3, d: Vec3) -> HitInfo:
         fi[:, 2] * d.x + fi[:, 5] * d.y + fi[:, 8] * d.z,
     )
     baxis, bS = _tri_preprocess(bd)
-    tp = scene.tri_pos[tri_row]  # (R, 12), differentiable gather
-    _, du, dv, dt, _ = _tri_intersect(
+    if packed:
+        tp = ts_row[:, 33:42]
+    else:
+        tp = scene.tri_pos[tri_row]  # (R, 12), differentiable gather
+    _, du, dv, dt, dback = _tri_intersect(
         bo, baxis, bS,
         Vec3(tp[:, 0], tp[:, 1], tp[:, 2]),
         Vec3(tp[:, 3], tp[:, 4], tp[:, 5]),
         Vec3(tp[:, 6], tp[:, 7], tp[:, 8]),
     )
+    back = (jnp.logical_not(miss) & dback) if packed else hit.back
     thit = jnp.where(miss, hit.thit, dt)
     bu = jnp.where(miss, hit.bary_u, du)
     bv = jnp.where(miss, hit.bary_v, dv)
@@ -171,8 +192,8 @@ def shade_hit(scene, light: LightParams, hit, origin: Vec3, d: Vec3) -> HitInfo:
     nw = where3(miss, Vec3(one * 0.0, one * 0.0, one), nw)
 
     # IOR 1.5; back-face flips the normal (reference: path_tracer.hh:394-400)
-    eta = jnp.where(hit.back, _IOR, 1.0 / _IOR)
-    nw = where3(hit.back, -nw, nw)
+    eta = jnp.where(back, _IOR, 1.0 / _IOR)
+    nw = where3(back, -nw, nw)
 
     tbn = create_tangent_space(nw)
     pos = origin + d * thit

@@ -1,0 +1,566 @@
+"""Persistent-lane megakernel renderer: traversal + shading in ONE loop.
+
+The drain-based wavefront (ops/wavefront.py) pays worst-lane for every
+bounce's ray_query drain: a lane whose rays finish in 8 steps idles while
+p100 lanes walk 40, and compaction between drain stages costs ~10 ns/lane
+per stage. Here there are NO drains: every lane owns one path and the wide
+traversal loop (ops/wide_traversal.py) IS the render loop — when a lane's
+current ray completes, the next service step shades it and immediately
+launches its next ray (shadow -> bounce -> next bounce -> next sample), so
+occupancy never depends on other lanes' ray lengths.
+
+Loop structure per while-iteration ("period"): K-1 cheap traversal steps
+(one 192 B row gather + 8-slot slab test; parked-leaf deferral as in the
+two-speed drain) then one service step = full traversal step + shade/
+respawn for lanes whose ray just finished.
+
+Per-lane semantics are the reference's exactly (reference:
+path_tracer.hh:637-741), with the same per-lane draw order as the
+wavefront renderer: film; [primary]; cond-atmo; then per bounce nee, bsdf,
+cond-atmo — each lane's seed advances only on its own masked draws, so
+per-sample radiance matches the scan/wavefront renderers to
+kernel-fusion ulps (tests/test_megakernel.py).
+
+Area-light NEE scenes (scene.lt_tris) are not wired here yet: render.py
+falls back to the drain wavefront for them.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracing_tpu.config import RenderConfig
+from pathtracing_tpu.ops import rng
+from pathtracing_tpu.ops.bsdf import sample_bsdf
+from pathtracing_tpu.ops.camera import camera_from_table, get_camera_ray
+from pathtracing_tpu.ops.integrator import (
+    HitInfo,
+    LightParams,
+    NeeState,
+    light_from_table,
+    nee_finish,
+    nee_prepare,
+    shade_hit,
+)
+from pathtracing_tpu.ops.samplers import sample_gaussian_weighted_disk
+from pathtracing_tpu.ops.sky import atmosphere_scattering
+from pathtracing_tpu.ops.traversal import (
+    _TravConsts,
+    _finalize_hit,
+    _octant,
+    _safe_inv,
+)
+from pathtracing_tpu.ops.wide_traversal import (
+    _EMPTY,
+    _WideTravState,
+    _wide_cheap_step,
+    _wide_init,
+    _wide_step,
+)
+from pathtracing_tpu.accel.wide import END_TLAS
+from pathtracing_tpu.utils.vec import (
+    Mat3,
+    Vec2,
+    Vec3,
+    Vec4,
+    normalize3,
+    where3,
+)
+
+Array = Any
+f32 = np.float32
+
+# phases of a lane's current traversal
+_PH_PRIMARY = 0
+_PH_SHADOW = 1
+_PH_BOUNCE = 2
+
+DEFAULT_MK_LEAF_EVERY = 4
+
+
+def _sel(mask, new, old):
+    return jax.tree.map(lambda a, b: jnp.where(mask, a, b), new, old)
+
+
+class _MkState(NamedTuple):
+    # Interleaved static pixel ownership: lane L renders pixels L, L+R,
+    # L+2R, ... ("chunks"), all spp samples each, so each lane's total
+    # work mixes cheap sky pixels with expensive horizon pixels — load
+    # balance without a work queue or scatter ops. Completed pixel sums
+    # flow into the carried (n_chunks, R) image planes, whose flat layout
+    # IS pixel order.
+    chunk: Array           # (R,) int32: which of the lane's pixels is live
+    pix_acc: Vec3          # per-lane sums over the current pixel's samples
+    acc_r: Array           # (n_chunks, R) f32 image planes
+    acc_g: Array
+    acc_b: Array
+    # path state (mirrors ops/wavefront._WfState)
+    seed: Any              # rng.Seed
+    sample_i: Array        # sample ordinal within the current pixel
+    bounce_i: Array
+    info: Any              # HitInfo of the PREVIOUS closest hit
+    roughness: Array
+    attenuation: Vec3
+    regularization: Array
+    cur: Vec3
+    tlas_count: Array
+    tlas_offset: Array
+    light: Any             # LightParams
+    lane_done: Array       # all samples complete
+    # current ray
+    phase: Array           # _PH_*
+    ray_o: Vec3
+    ray_d: Vec3
+    t_inv: Vec3
+    tmin: Array
+    # pending NEE context (prep -> shadow result -> finish)
+    nee: Any               # NeeState
+    occ_nee: Array
+    # queued bounce ray direction + bsdf sample record
+    b_dir: Vec3
+    b_atten: Vec3
+    b_pdf: Array
+    # embedded wide traversal state
+    trav: Any              # _WideTravState
+
+
+def _consts(s: _MkState) -> _TravConsts:
+    return _TravConsts(
+        tlas_count=s.tlas_count,
+        tlas_offset=s.tlas_offset,
+        t_link_offset=s.tlas_count,   # unused by the wide path
+        org=s.ray_o,
+        d=s.ray_d,
+        t_inv=s.t_inv,
+    )
+
+
+def _launch(scene, s: _MkState, mask, org: Vec3, d: Vec3, tmin, tmax0,
+            phase):
+    """Reset the traversal for ``mask`` lanes onto a new ray."""
+    R = s.sample_i.shape
+    t_inv = _safe_inv(d)
+    oct_ = _octant(d)
+    root = jax.lax.bitcast_convert_type(
+        scene.wide_root[s.tlas_offset, oct_], jnp.uint32
+    )
+    fresh = _wide_init(
+        R, mask, jnp.broadcast_to(jnp.asarray(tmax0, jnp.float32), R), root
+    )
+    return s._replace(
+        phase=jnp.where(mask, phase, s.phase),
+        ray_o=where3(mask, org, s.ray_o),
+        ray_d=where3(mask, d, s.ray_d),
+        t_inv=where3(mask, t_inv, s.t_inv),
+        tmin=jnp.where(mask, tmin, s.tmin),
+        trav=_sel(mask, fresh, s.trav),
+    )
+
+
+def _service(config: RenderConfig, scene, s: _MkState, spp,
+             sample_base, n_pixels):
+    """Shade/chain/respawn for lanes whose ray has finished."""
+    R = s.sample_i.shape
+    zero = jnp.zeros(R, jnp.float32)
+    v0 = Vec3(zero, zero, zero)
+    consts = _consts(s)
+    trav = s.trav
+
+    fin = trav.done & jnp.logical_not(s.lane_done)
+    phase0 = s.phase
+
+    # ---- shadow completed: record occlusion (its queued bounce launches
+    # in the merged launch below) ----
+    sh_done = fin & (phase0 == _PH_SHADOW)
+    occ_nee = jnp.where(sh_done, trav.occluded, s.occ_nee)
+    s = s._replace(occ_nee=occ_nee)
+    is_prim = fin & (phase0 == _PH_PRIMARY)
+    is_bshade = fin & (phase0 == _PH_BOUNCE)
+    shade_m = is_prim | is_bshade
+
+    # ---- materialize the closest hit + shade it (one packed gather;
+    # (u, v, t, back) are re-derived inside shade_hit, so no _finalize) ----
+    packed = getattr(scene, "tri_shade", None) is not None
+    if packed:
+        hitm = trav.c_inst >= 0
+        from pathtracing_tpu.ops.traversal import RayHit
+
+        hit = RayHit(
+            thit=jnp.where(hitm, trav.tmax, -1.0),
+            bary_u=zero, bary_v=zero, bary_w=zero,
+            inst=trav.c_inst,
+            prim=jnp.where(hitm, trav.c_prim, 0),
+            back=jnp.zeros_like(hitm),
+        )
+    else:
+        hit = _finalize_hit(scene, consts, trav)
+    new_info = shade_hit(
+        scene, s.light, hit, s.ray_o, s.ray_d, packed=packed
+    )
+
+    # ---- NEE contribution for bounce shades (ordered before the bounce
+    # term, exactly as the wavefront body) ----
+    atten0 = s.attenuation
+    nee_color = nee_finish(
+        s.nee, s.light, s.info._replace(roughness=s.roughness), s.occ_nee,
+        is_bshade, config,
+    )
+    cur = s.cur + where3(is_bshade, atten0 * nee_color, v0)
+
+    # ---- conditional atmosphere draw for the completed closest ray ----
+    seed, atmo_att, in_scatter = atmosphere_scattering(
+        s.seed, s.light.direction, s.light.color, s.ray_o, s.ray_d,
+        new_info.thit, shade_m,
+    )
+
+    # ---- contribution terms (reference: path_tracer.hh:686-737) ----
+    prim_term = in_scatter + atmo_att * new_info.albedo * new_info.emission
+    cur = cur + where3(is_prim, prim_term, v0)
+    attenuation = where3(is_prim, atmo_att, atten0)
+
+    pdf_safe = jnp.where(s.b_pdf == 0, 1.0, s.b_pdf)
+    mis_pdf = jnp.where(
+        s.b_pdf < 0,
+        -s.b_pdf,
+        jnp.where(
+            s.b_pdf == 0,
+            jnp.inf,
+            (new_info.nee_pdf * new_info.nee_pdf + s.b_pdf * s.b_pdf)
+            / pdf_safe,
+        ),
+    )
+    inv_mis = jnp.where(jnp.isinf(mis_pdf), 0.0, 1.0 / mis_pdf)
+    inv_abs_pdf = jnp.where(s.b_pdf == 0, jnp.inf, 1.0 / jnp.abs(pdf_safe))
+    atten_b = atten0 * s.b_atten
+    bounce_term = (
+        atten_b * (in_scatter + atmo_att * new_info.albedo * new_info.emission)
+        * inv_mis
+    )
+    cur = cur + where3(is_bshade, bounce_term, v0)
+    attenuation = where3(
+        is_bshade, atten_b * atmo_att * inv_abs_pdf, attenuation
+    )
+
+    # ---- path-space regularization (reference: path_tracer.hh:734-737) ----
+    regularization = jnp.where(
+        is_bshade & (s.b_pdf > 0.0),
+        s.regularization
+        * jnp.maximum(
+            1.0
+            - f32(config.path_space_regularization_gamma)
+            / jnp.power(jnp.where(s.b_pdf > 0, s.b_pdf, 1.0), 0.25),
+            0.0,
+        ),
+        jnp.where(is_prim, 1.0, s.regularization),
+    )
+    roughness = jnp.where(
+        shade_m, 1.0 - (1.0 - new_info.roughness) * regularization,
+        s.roughness,
+    )
+
+    bounce_i = jnp.where(
+        is_prim, 1, s.bounce_i + is_bshade.astype(jnp.int32)
+    )
+    path_live = shade_m & (new_info.thit > 0) & (
+        bounce_i <= config.max_bounces
+    )
+    died = shade_m & jnp.logical_not(path_live)
+
+    # ---- continue: nee + bsdf draws, launch the shadow ray ----
+    info_now = new_info._replace(roughness=roughness)
+    view = info_now.tbn.vec_mul(-s.ray_d)
+    view = Vec3(
+        view.x, view.y,
+        jnp.where(view.z < 1e-7, jnp.maximum(view.z, 1e-7), view.z),
+    )
+    view = normalize3(view)
+    seed, nee = nee_prepare(seed, s.light, info_now, view, path_live)
+    seed, ub = rng.uniform4_masked(seed, path_live)
+    sample = sample_bsdf(
+        Vec3(ub.x, ub.y, ub.z), view, info_now.albedo, info_now.roughness,
+        info_now.metallic, info_now.transmission, info_now.eta,
+    )
+    b_dir = normalize3(info_now.tbn.mul_vec(sample.direction))
+
+    # ---- death: fold the sample; advance sample, then pixel chunk ----
+    R_lanes = s.sample_i.shape[0]
+    n_chunks = s.acc_r.shape[0]
+    pix_acc = where3(died, s.pix_acc + cur, s.pix_acc)
+    cur = where3(died, v0, cur)
+    sample_i = s.sample_i + died.astype(jnp.int32)
+    pix_done = died & (sample_i >= spp)
+    # flush completed pixel sums into the carried (n_chunks, R) image via
+    # statically-unrolled masked row adds — no scatter ops
+    acc_r, acc_g, acc_b = s.acc_r, s.acc_g, s.acc_b
+    for c in range(n_chunks):
+        m = pix_done & (s.chunk == c)
+        acc_r = acc_r.at[c].add(jnp.where(m, pix_acc.x, 0.0))
+        acc_g = acc_g.at[c].add(jnp.where(m, pix_acc.y, 0.0))
+        acc_b = acc_b.at[c].add(jnp.where(m, pix_acc.z, 0.0))
+    pix_acc = where3(pix_done, v0, pix_acc)
+    chunk = s.chunk + pix_done.astype(jnp.int32)
+    sample_i = jnp.where(pix_done, 0, sample_i)
+
+    # lane's (possibly new) pixel: interleaved static ownership — lane L
+    # owns pixels L, L+R, L+2R, ... so each lane's total work mixes cheap
+    # sky pixels with expensive horizon pixels (load balance without a
+    # work queue); the flat (n_chunks*R,) image IS pixel order. Lanes whose
+    # next pixel falls past n_pixels (the trimmed tail of the last chunk)
+    # retire instead of rendering garbage.
+    pixel = chunk * R_lanes + jax.lax.broadcasted_iota(
+        jnp.int32, (R_lanes, 1), 0
+    )[:, 0]
+    lane_done = s.lane_done | (pixel >= n_pixels)
+    rs = died & jnp.logical_not(lane_done)
+    W_ = config.image_width
+    xs = pixel % W_
+    ys = pixel // W_
+
+    sample_index = sample_base + sample_i
+    smbs = config.samples_per_motion_blur_step
+    subframe = jnp.where(
+        sample_index < 0, 0, sample_index // smbs
+    ).astype(jnp.int32)
+    subframe = jnp.where(rs, subframe, 0)
+    fresh_seed = rng.Seed(
+        xs.astype(jnp.uint32),
+        ys.astype(jnp.uint32),
+        sample_index.astype(jnp.uint32),
+        jnp.full(R, config.student_id, jnp.uint32),
+    )
+    fresh_seed = rng.pcg4d(fresh_seed)
+    seed = _sel(rs, fresh_seed, seed)
+    seed, u = rng.uniform4_masked(seed, rs)
+    film = sample_gaussian_weighted_disk(Vec2(u.x, u.y), f32(0.4)) + 0.5
+    cam = camera_from_table(scene.sf_cam, subframe)
+    coord = Vec2(
+        xs.astype(jnp.float32) + film.x, ys.astype(jnp.float32) + film.y
+    )
+    cam_dir, cam_o = get_camera_ray(
+        cam, Vec2(u.z, u.w), coord,
+        config.image_width, config.image_height,
+    )
+    tlas_count = jnp.where(rs, scene.sf_tlas_count[subframe], s.tlas_count)
+    tlas_offset = jnp.where(rs, scene.sf_tlas_offset[subframe], s.tlas_offset)
+    light = _sel(rs, light_from_table(scene.sf_light, subframe), s.light)
+
+    s = s._replace(
+        seed=seed,
+        sample_i=sample_i,
+        bounce_i=jnp.where(shade_m, bounce_i, s.bounce_i),
+        info=_sel(shade_m, new_info, s.info),
+        roughness=roughness,
+        attenuation=attenuation,
+        regularization=regularization,
+        cur=cur,
+        pix_acc=pix_acc,
+        chunk=chunk,
+        acc_r=acc_r,
+        acc_g=acc_g,
+        acc_b=acc_b,
+        tlas_count=tlas_count,
+        tlas_offset=tlas_offset,
+        light=light,
+        lane_done=lane_done,
+        nee=_sel(path_live, nee, s.nee),
+        b_dir=where3(path_live, b_dir, s.b_dir),
+        b_atten=where3(path_live, sample.attenuation, s.b_atten),
+        b_pdf=jnp.where(path_live, sample.pdf, s.b_pdf),
+    )
+
+    # ---- ONE merged launch (masks are disjoint): sh_done lanes chain
+    # their queued bounce, path_live lanes start the next bounce's shadow
+    # ray (or skip straight to the bounce when NEE is black), rs lanes
+    # start the next sample's primary — one octant/root gather for all ----
+    to_shadow = path_live & nee.shadow_active
+    to_bounce = (path_live & jnp.logical_not(nee.shadow_active)) | sh_done
+    mask = sh_done | path_live | rs
+    l_org = where3(
+        rs, cam_o, where3(sh_done, s.info.pos, info_now.pos)
+    )
+    l_dir = where3(
+        rs,
+        cam_dir,
+        where3(
+            to_shadow,
+            nee.light_dir,
+            where3(sh_done, s.b_dir, b_dir),
+        ),
+    )
+    l_tmin = jnp.where(rs, 0.0, jnp.float32(config.min_ray_dist))
+    l_phase = jnp.where(
+        rs, _PH_PRIMARY, jnp.where(to_shadow, _PH_SHADOW, _PH_BOUNCE)
+    ).astype(jnp.int32)
+    return _launch(
+        scene, s, mask, l_org, l_dir, l_tmin, config.max_ray_dist, l_phase
+    )
+
+
+def path_trace_megakernel(
+    config: RenderConfig,
+    scene,
+    n_pixels: int,
+    spp: int,
+    sample_base: int = 0,
+    lanes: int = 32768,
+    leaf_every: int = DEFAULT_MK_LEAF_EVERY,
+):
+    """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
+    for pixels [0, n_pixels) of a config.image_width-wide frame, with
+    ``lanes`` persistent lanes. Returns a Vec3 of flat
+    (ceil(n_pixels/lanes)*lanes,) per-pixel sums — trim to n_pixels.
+
+    Requires wide tables (scene.wide_rows); no area-light tables (render.py
+    falls back to the drain wavefront for those).
+    """
+    assert getattr(scene, "wide_rows", None) is not None
+    R = lanes
+    n_chunks = -(-n_pixels // lanes)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
+    xs = lane % config.image_width
+    ys = lane // config.image_width
+    i32 = lambda v: jnp.full(R, v, jnp.int32)
+    fz = jnp.zeros(R, jnp.float32)
+    v0 = Vec3(fz, fz, fz)
+    ones = jnp.ones(R, jnp.float32)
+
+    dead_info = HitInfo(
+        thit=jnp.full(R, -1.0),
+        pos=v0,
+        tbn=Mat3(v0, v0, Vec3(fz, fz, ones)),
+        albedo=v0,
+        alpha=fz,
+        roughness=fz,
+        metallic=fz,
+        emission=fz,
+        transmission=fz,
+        eta=ones,
+        nee_pdf=fz,
+    )
+    nee0 = NeeState(
+        u=Vec4(fz, fz, fz, fz),
+        light_dir=Vec3(fz, fz, ones),
+        color=v0,
+        bsdf_pdf=fz,
+        nee_pdf=fz,
+        black=jnp.zeros(R, bool),
+        shadow_active=jnp.zeros(R, bool),
+    )
+    state = _MkState(
+        seed=rng.Seed(*(jnp.zeros(R, jnp.uint32) for _ in range(4))),
+        sample_i=i32(0),
+        bounce_i=i32(0),
+        info=dead_info,
+        roughness=fz,
+        attenuation=v0,
+        regularization=ones,
+        cur=v0,
+        chunk=i32(0),
+        pix_acc=v0,
+        acc_r=jnp.zeros((n_chunks, R), jnp.float32),
+        acc_g=jnp.zeros((n_chunks, R), jnp.float32),
+        acc_b=jnp.zeros((n_chunks, R), jnp.float32),
+        tlas_count=i32(1),
+        tlas_offset=i32(0),
+        light=LightParams(
+            direction=Vec3(fz, ones, fz),
+            color=v0,
+            cos_solid_angle=ones,
+        ),
+        lane_done=lane >= n_pixels,
+        phase=i32(_PH_PRIMARY),
+        ray_o=v0,
+        ray_d=Vec3(fz, fz, ones),
+        t_inv=_safe_inv(Vec3(fz, fz, ones)),
+        tmin=fz,
+        nee=nee0,
+        occ_nee=jnp.zeros(R, bool),
+        b_dir=Vec3(fz, fz, ones),
+        b_atten=v0,
+        b_pdf=fz,
+        trav=_wide_init(
+            (R,), jnp.zeros(R, bool), jnp.full(R, 1e9, jnp.float32),
+            jnp.full(R, np.uint32(END_TLAS), jnp.uint32),
+        ),
+    )
+    # ---- boot: spawn sample 0 on every lane (same draws as a respawn) ----
+    sample_index = jnp.full(R, sample_base, jnp.int32)
+    smbs = config.samples_per_motion_blur_step
+    subframe = jnp.where(sample_index < 0, 0, sample_index // smbs).astype(
+        jnp.int32
+    )
+    seed = rng.Seed(
+        xs.astype(jnp.uint32),
+        ys.astype(jnp.uint32),
+        sample_index.astype(jnp.uint32),
+        jnp.full(R, config.student_id, jnp.uint32),
+    )
+    boot_live = lane < n_pixels
+    seed = rng.pcg4d(seed)
+    seed, u = rng.uniform4_masked(seed, boot_live)
+    film = sample_gaussian_weighted_disk(Vec2(u.x, u.y), f32(0.4)) + 0.5
+    cam = camera_from_table(scene.sf_cam, subframe)
+    coord = Vec2(
+        xs.astype(jnp.float32) + film.x, ys.astype(jnp.float32) + film.y
+    )
+    cam_dir, cam_o = get_camera_ray(
+        cam, Vec2(u.z, u.w), coord, config.image_width, config.image_height
+    )
+    state = state._replace(
+        seed=seed,
+        tlas_count=scene.sf_tlas_count[subframe],
+        tlas_offset=scene.sf_tlas_offset[subframe],
+        light=light_from_table(scene.sf_light, subframe),
+    )
+    state = _launch(
+        scene, state, boot_live, cam_o, cam_dir,
+        jnp.zeros(R, jnp.float32), config.max_ray_dist,
+        jnp.int32(_PH_PRIMARY),
+    )
+
+    def cond(s):
+        return jnp.any(jnp.logical_not(s.lane_done))
+
+    # Adaptive service: the shade/launch block runs only when at least
+    # R/SERVICE_DIV lanes have a finished ray waiting — or when no
+    # traversal can make progress (drain tail / all-due). On
+    # long-traversal tiles (horizon grazing rays) services become rare and
+    # the loop degenerates to the pure wide walk; on short-path tiles
+    # (sky) they fire every period. This is what drain compaction does
+    # for the wavefront renderer, without ever permuting lanes.
+    def body(s):
+        consts = _consts(s)
+        for _ in range(leaf_every - 1):
+            s = s._replace(
+                trav=_wide_cheap_step(scene, s.trav, consts, s.tmin)
+            )
+        anyhit = s.phase == _PH_SHADOW
+        s = s._replace(
+            trav=_wide_step(scene, s.trav, consts, s.tmin, anyhit)
+        )
+        live = jnp.logical_not(s.lane_done)
+        due = jnp.count_nonzero(s.trav.done & live)
+        stuck = jnp.count_nonzero(jnp.logical_not(s.trav.done) & live)
+        do_service = (due * SERVICE_DIV >= stuck + due) | (stuck == 0)
+        return jax.lax.cond(
+            do_service,
+            lambda st: _service(config, scene, st, spp, sample_base,
+                                n_pixels),
+            lambda st: st,
+            s,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return Vec3(
+        final.acc_r.reshape(-1),
+        final.acc_g.reshape(-1),
+        final.acc_b.reshape(-1),
+    )
+
+
+# Service fires when due lanes are at least 1/SERVICE_DIV of the live set.
+SERVICE_DIV = 8

@@ -33,6 +33,55 @@ def _render_tile_wavefront(
     return acc.x, acc.y, acc.z
 
 
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+def _render_frame_megakernel(
+    config: RenderConfig, scene, n_pixels: int, spp: int, sample_base: int,
+    lanes: int, leaf_every: int,
+):
+    """Persistent-lane megakernel (ops/megakernel.py): one while_loop renders
+    the whole frame — no per-bounce drains, no compaction permutes."""
+    from pathtracing_tpu.ops.megakernel import path_trace_megakernel
+
+    acc = path_trace_megakernel(
+        config, scene, n_pixels, spp, sample_base, lanes=lanes,
+        leaf_every=leaf_every,
+    )
+    return acc.x, acc.y, acc.z
+
+
+def megakernel_supported(scene, xs, ys, width: int) -> bool:
+    """The megakernel owns pixels [0, N) of a row-major frame and needs the
+    wide tables; area-light NEE scenes still route to the drain wavefront."""
+    if getattr(scene, "wide_rows", None) is None:
+        return False
+    if getattr(scene, "lt_tris", None) is not None:
+        return False
+    n = len(xs)
+    idx = np.arange(n, dtype=np.int64)
+    return bool(
+        np.array_equal(np.asarray(xs, np.int64), idx % width)
+        and np.array_equal(np.asarray(ys, np.int64), idx // width)
+    )
+
+
+# module overrides for the megakernel knobs (None = use the tuning table);
+# set by bench.py's PT_MK_LANES / PT_MK_LEAF env vars and perf tooling.
+DEFAULT_MK_LANES: int | None = None
+DEFAULT_MK_LEAF: int | None = None
+
+
+def default_mk_knobs(scene) -> tuple[int, int]:
+    """Platform-resolved (mk_lanes, mk_leaf_every) from the tuning table."""
+    from pathtracing_tpu.ops.traversal import LARGE_SCENE_NODES
+    from pathtracing_tpu.tuning import get_tuning
+
+    large = (scene.nl8.shape[0] // 8) > LARGE_SCENE_NODES
+    t = get_tuning(jax.default_backend(), "large" if large else "small")
+    lanes = DEFAULT_MK_LANES or int(t["mk_lanes"])
+    leaf = DEFAULT_MK_LEAF or int(t["mk_leaf_every"])
+    return lanes, leaf
+
+
 @functools.partial(jax.jit, static_argnums=(0, 4))
 def _render_tile(config: RenderConfig, scene, xs, ys, spp: int, sample_base=0):
     """Sum `spp` samples per lane starting at sample_base; returns (r,g,b).
@@ -126,6 +175,7 @@ def render_pixels(
     sample_base: int = 0,
     average: bool = True,
     wavefront: bool = False,
+    megakernel: bool | None = None,
 ):
     """Radiance for an arbitrary pixel list. Returns (N, 3) f32.
 
@@ -134,9 +184,35 @@ def render_pixels(
     wavefront=True uses the path-regeneration kernel (1.25x on CPU, see
     ops/wavefront.py); per-sample semantics are identical up to chaotic
     boundary paths, so checkpoint partials remain mergeable.
+    megakernel=True uses the persistent-lane megakernel (TPU fast path,
+    ops/megakernel.py; needs wide tables + a row-major [0, N) pixel list);
+    None auto-selects it on TPU when supported.
     tile_pixels=None resolves per platform via the tuning table.
     """
     spp = spp or config.samples_per_pixel
+    if megakernel is None:
+        # auto-select on TPU only: CPU optima favor the drain wavefront,
+        # and the CPU test matrix pins each renderer explicitly.
+        megakernel = jax.default_backend() == "tpu" and megakernel_supported(
+            scene, xs, ys, config.image_width
+        )
+    if megakernel:
+        if not megakernel_supported(scene, xs, ys, config.image_width):
+            raise ValueError(
+                "megakernel needs wide tables, no area lights, and a "
+                "row-major [0, N) pixel list"
+            )
+        n = len(xs)
+        lanes, leaf = default_mk_knobs(scene)
+        r, g, b = _render_frame_megakernel(
+            config, scene, n, spp, int(sample_base), lanes, leaf
+        )
+        out = np.stack(
+            [np.asarray(r)[:n], np.asarray(g)[:n], np.asarray(b)[:n]], -1
+        )
+        if average:
+            return out / np.float32(spp)
+        return out
     if tile_pixels is None:
         tile_pixels = default_tile_pixels(scene)
     if wavefront:

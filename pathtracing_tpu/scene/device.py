@@ -50,6 +50,11 @@ class SceneDevice(NamedTuple):
     # is a DFS-order-preserving collapse of the same binary tree).
     wide_rows: Array | None = None   # (M, 48) f32 mega-table
     wide_root: Array | None = None   # (max_tlas_offset+1, 8) int32 cursors
+    # Optional packed per-triangle shading rows (pack_tri_shade): one 192 B
+    # gather replaces tri_idx + 3x vattr + tri_pos (5 gathers) in the
+    # forward-only renderers (shade_hit packed=True). The scan/diff path
+    # keeps the per-vertex tables so gradients land on vattr/tri_pos.
+    tri_shade: Array | None = None   # (T, 48) f32
     # Optional emissive-light tables (ops/arealights.py, enabled by
     # pack_scene(..., emissive_nee=True)): presence switches the integrator
     # to area-light NEE + MIS-weighted emission (a different, documented RNG
@@ -169,6 +174,32 @@ def pack_tri_tables(indices, pos, meshes):
     return out_pos, out_idx
 
 
+def pack_tri_shade(indices, pos, normal, albedo, material, meshes):
+    """(T, 48) packed shading rows in global triangle order: per vertex
+    [normal(3), albedo(4), material(4)] (33 f32) then the 9 vertex
+    positions; one row gather serves a whole hit's shading fetch."""
+    t_total = max(len(indices) // 3, 1)
+    out = np.zeros((t_total, 48), f32)
+    seen = set()
+    for m in meshes:
+        key = (m.index_offset, m.triangle_count)
+        if m.triangle_count == 0 or key in seen:
+            continue
+        seen.add(key)
+        tri = indices[
+            m.index_offset : m.index_offset + 3 * m.triangle_count
+        ].reshape(-1, 3).astype(np.int64) + m.base_vertex_offset
+        t0 = m.index_offset // 3
+        sl = slice(t0, t0 + m.triangle_count)
+        for v in range(3):
+            base = 11 * v
+            out[sl, base : base + 3] = normal[tri[:, v]]
+            out[sl, base + 3 : base + 7] = albedo[tri[:, v]]
+            out[sl, base + 7 : base + 11] = material[tri[:, v]]
+        out[sl, 33:42] = pos[tri].reshape(-1, 9)
+    return out
+
+
 def pack_vattr(normal, albedo, material) -> np.ndarray:
     v = max(len(normal), 1)
     out = np.zeros((v, 12), f32)
@@ -255,6 +286,14 @@ def pack_scene(
         scene = attach_wide(
             scene, mesh_arrays, bvh_nodes, bvh_links, instances, subframes,
             leaf_bundle=leaf_bundle,
+        )
+        scene = scene._replace(
+            tri_shade=dev(
+                pack_tri_shade(
+                    indices, pos, normal, albedo, material,
+                    [i.mesh for i in instances],
+                )
+            )
         )
     return scene
 

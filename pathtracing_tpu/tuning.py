@@ -27,7 +27,10 @@ import pathlib
 from functools import lru_cache
 from typing import Any
 
-KNOBS = ("leaf_every", "compact_div", "mid_entry", "unroll", "tile_pixels")
+KNOBS = (
+    "leaf_every", "compact_div", "mid_entry", "unroll", "tile_pixels",
+    "mk_lanes", "mk_leaf_every",
+)
 
 # Builtin fallbacks. CPU rows measured (BENCH_NOTES.md); any unknown
 # platform falls back to the "cpu" rows.
@@ -39,6 +42,8 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "mid_entry": False,
             "unroll": False,
             "tile_pixels": 1 << 15,  # cache-bound optimum (BENCH_NOTES)
+            "mk_lanes": 1 << 13,
+            "mk_leaf_every": 4,
         },
         "large": {
             "leaf_every": 16,
@@ -46,6 +51,8 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "mid_entry": False,
             "unroll": False,
             "tile_pixels": 1 << 15,
+            "mk_lanes": 1 << 13,
+            "mk_leaf_every": 4,
         },
     },
     # TPU rows are PRIORS from the offline v5e model (tools/step_cost.py:
@@ -67,6 +74,12 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             # amortize per-iteration dispatch; compaction works better on
             # a larger population (prior, sweep on chip)
             "tile_pixels": 1 << 17,
+            # megakernel optimum measured on v5e 2026-08-19 (golden scene
+            # sweep, tools/mk_probe.py): 8192 lanes beats 32768 by 2.2x —
+            # small populations keep every lane's chunk list long enough
+            # to average horizon/sky work AND shrink the drain tail.
+            "mk_lanes": 1 << 13,
+            "mk_leaf_every": 4,
         },
         "large": {
             "leaf_every": 16,
@@ -74,6 +87,8 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "mid_entry": True,
             "unroll": True,
             "tile_pixels": 1 << 17,
+            "mk_lanes": 1 << 13,
+            "mk_leaf_every": 4,
         },
     },
 }

@@ -1,0 +1,65 @@
+"""Persistent-lane megakernel renderer vs the scan renderer.
+
+Same seeds, same per-lane draw order, same per-sample math as the scan and
+wavefront renderers — sums must agree to kernel-fusion ulps on the golden
+scene (the same chaotic-lane budget as tests/test_wavefront.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pathtracing_tpu.config import TESTING
+from pathtracing_tpu.ops.integrator import path_trace_samples
+from pathtracing_tpu.ops.megakernel import path_trace_megakernel
+from pathtracing_tpu.utils.goldenio import load_golden
+
+from conftest import require_golden
+from golden_scene import scene_device_from_golden
+
+
+def _scan_sums(scene, xs, ys, spp, base=0):
+    acc = [jnp.zeros(xs.shape, jnp.float32) for _ in range(3)]
+    for j in range(spp):
+        si = jnp.full(xs.shape, base + j, jnp.int32)
+        c = path_trace_samples(TESTING, scene, xs, ys, si)
+        acc = [acc[0] + c.x, acc[1] + c.y, acc[2] + c.z]
+    return np.stack([np.asarray(a) for a in acc], -1)
+
+
+def _compare(scene_bin, scene_wide, n_pixels, lanes, spp, base=0,
+             leaf_every=4):
+    idx = np.arange(n_pixels, dtype=np.int32)
+    xs = jnp.asarray(idx % TESTING.image_width)
+    ys = jnp.asarray(idx // TESTING.image_width)
+    ref = _scan_sums(scene_bin, xs, ys, spp, base)
+    acc = path_trace_megakernel(
+        TESTING, scene_wide, n_pixels, spp, base, lanes=lanes,
+        leaf_every=leaf_every,
+    )
+    got = np.stack(
+        [np.asarray(acc.x), np.asarray(acc.y), np.asarray(acc.z)], -1
+    )[:n_pixels]
+    finite = np.isfinite(ref).all(-1)
+    assert finite.mean() > 0.99
+    close = (
+        np.abs(got[finite] - ref[finite])
+        <= 2e-4 + 2e-4 * np.abs(ref[finite])
+    ).all(-1)
+    assert close.mean() > 0.97, close.mean()
+
+
+def test_megakernel_matches_scan():
+    g = load_golden(str(require_golden("scene.gold")))
+    scene_bin = scene_device_from_golden(g)
+    scene_wide = scene_device_from_golden(g, wide=True)
+    _compare(scene_bin, scene_wide, n_pixels=1000, lanes=256, spp=4)
+
+
+def test_megakernel_sample_base_and_period():
+    g = load_golden(str(require_golden("scene.gold")))
+    scene_bin = scene_device_from_golden(g)
+    scene_wide = scene_device_from_golden(g, wide=True)
+    _compare(scene_bin, scene_wide, n_pixels=512, lanes=128, spp=2, base=5,
+             leaf_every=2)
+    _compare(scene_bin, scene_wide, n_pixels=512, lanes=128, spp=2, base=5,
+             leaf_every=6)
