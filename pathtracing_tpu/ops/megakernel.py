@@ -87,20 +87,21 @@ def _sel(mask, new, old):
 
 
 class _MkState(NamedTuple):
-    # Interleaved static pixel ownership: lane L renders pixels L, L+R,
-    # L+2R, ... ("chunks"), all spp samples each, so each lane's total
-    # work mixes cheap sky pixels with expensive horizon pixels — load
-    # balance without a work queue or scatter ops. Completed pixel sums
-    # flow into the carried (n_chunks, R) image planes, whose flat layout
-    # IS pixel order.
-    chunk: Array           # (R,) int32: which of the lane's pixels is live
-    pix_acc: Vec3          # per-lane sums over the current pixel's samples
-    acc_r: Array           # (n_chunks, R) f32 image planes
+    # Interleaved static WORK-ITEM ownership: one item = one
+    # (pixel, sample) pair, sample-major (item = sample*n_pixels + pixel),
+    # and lane L runs items L, L+R, L+2R, ... ("chunks"). Each lane's
+    # total work is an average over ~n_pixels*spp/R independent items, so
+    # per-pixel cost variance washes out spp times harder than pixel-major
+    # chunks did (which left a 75.7% idle tail — tools/mk_stats.py) — load
+    # balance without a work queue or scatter ops. Completed item sums
+    # flow into the carried (n_chunks, R) planes, whose flat layout IS
+    # item order; the caller folds samples with reshape(spp, n_pixels).
+    chunk: Array           # (R,) int32: which of the lane's items is live
+    acc_r: Array           # (n_chunks, R) f32 per-item radiance sums
     acc_g: Array
     acc_b: Array
     # path state (mirrors ops/wavefront._WfState)
     seed: Any              # rng.Seed
-    sample_i: Array        # sample ordinal within the current pixel
     bounce_i: Array
     info: Any              # HitInfo of the PREVIOUS closest hit
     roughness: Array
@@ -142,7 +143,7 @@ def _consts(s: _MkState) -> _TravConsts:
 def _launch(scene, s: _MkState, mask, org: Vec3, d: Vec3, tmin, tmax0,
             phase):
     """Reset the traversal for ``mask`` lanes onto a new ray."""
-    R = s.sample_i.shape
+    R = s.bounce_i.shape
     t_inv = _safe_inv(d)
     oct_ = _octant(d)
     root = jax.lax.bitcast_convert_type(
@@ -164,7 +165,7 @@ def _launch(scene, s: _MkState, mask, org: Vec3, d: Vec3, tmin, tmax0,
 def _service(config: RenderConfig, scene, s: _MkState, spp,
              sample_base, n_pixels):
     """Shade/chain/respawn for lanes whose ray has finished."""
-    R = s.sample_i.shape
+    R = s.bounce_i.shape
     zero = jnp.zeros(R, jnp.float32)
     v0 = Vec3(zero, zero, zero)
     consts = _consts(s)
@@ -286,36 +287,34 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     )
     b_dir = normalize3(info_now.tbn.mul_vec(sample.direction))
 
-    # ---- death: fold the sample; advance sample, then pixel chunk ----
-    R_lanes = s.sample_i.shape[0]
+    # ---- death: fold the sample; advance to the lane's next work item ----
+    R_lanes = s.bounce_i.shape[0]
     n_chunks = s.acc_r.shape[0]
-    pix_acc = where3(died, s.pix_acc + cur, s.pix_acc)
+    n_items = n_pixels * spp
+    # flush the dead item's radiance into the carried (n_chunks, R) planes
+    # via a broadcast one-hot row mask — no scatter ops
+    cmask = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_chunks, R_lanes), 0)
+        == s.chunk[None, :]
+    ) & died[None, :]
+    acc_r = s.acc_r + jnp.where(cmask, cur.x[None, :], 0.0)
+    acc_g = s.acc_g + jnp.where(cmask, cur.y[None, :], 0.0)
+    acc_b = s.acc_b + jnp.where(cmask, cur.z[None, :], 0.0)
     cur = where3(died, v0, cur)
-    sample_i = s.sample_i + died.astype(jnp.int32)
-    pix_done = died & (sample_i >= spp)
-    # flush completed pixel sums into the carried (n_chunks, R) image via
-    # statically-unrolled masked row adds — no scatter ops
-    acc_r, acc_g, acc_b = s.acc_r, s.acc_g, s.acc_b
-    for c in range(n_chunks):
-        m = pix_done & (s.chunk == c)
-        acc_r = acc_r.at[c].add(jnp.where(m, pix_acc.x, 0.0))
-        acc_g = acc_g.at[c].add(jnp.where(m, pix_acc.y, 0.0))
-        acc_b = acc_b.at[c].add(jnp.where(m, pix_acc.z, 0.0))
-    pix_acc = where3(pix_done, v0, pix_acc)
-    chunk = s.chunk + pix_done.astype(jnp.int32)
-    sample_i = jnp.where(pix_done, 0, sample_i)
+    chunk = s.chunk + died.astype(jnp.int32)
 
-    # lane's (possibly new) pixel: interleaved static ownership — lane L
-    # owns pixels L, L+R, L+2R, ... so each lane's total work mixes cheap
-    # sky pixels with expensive horizon pixels (load balance without a
-    # work queue); the flat (n_chunks*R,) image IS pixel order. Lanes whose
-    # next pixel falls past n_pixels (the trimmed tail of the last chunk)
+    # lane's (possibly new) work item: one (pixel, sample) pair,
+    # sample-major so the items of one pixel land on spp different lanes
+    # and each lane's ~n_items/R items sample the whole frame. Lanes whose
+    # next item falls past n_items (the trimmed tail of the last chunk)
     # retire instead of rendering garbage.
-    pixel = chunk * R_lanes + jax.lax.broadcasted_iota(
-        jnp.int32, (R_lanes, 1), 0
-    )[:, 0]
-    lane_done = s.lane_done | (pixel >= n_pixels)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R_lanes, 1), 0)[:, 0]
+    item = chunk * R_lanes + lane
+    lane_done = s.lane_done | (item >= n_items)
     rs = died & jnp.logical_not(lane_done)
+    item_c = jnp.minimum(item, n_items - 1)
+    pixel = item_c % n_pixels
+    sample_i = item_c // n_pixels
     W_ = config.image_width
     xs = pixel % W_
     ys = pixel // W_
@@ -350,14 +349,12 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
 
     s = s._replace(
         seed=seed,
-        sample_i=sample_i,
         bounce_i=jnp.where(shade_m, bounce_i, s.bounce_i),
         info=_sel(shade_m, new_info, s.info),
         roughness=roughness,
         attenuation=attenuation,
         regularization=regularization,
         cur=cur,
-        pix_acc=pix_acc,
         chunk=chunk,
         acc_r=acc_r,
         acc_g=acc_g,
@@ -411,18 +408,21 @@ def path_trace_megakernel(
 ):
     """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
     for pixels [0, n_pixels) of a config.image_width-wide frame, with
-    ``lanes`` persistent lanes. Returns a Vec3 of flat
-    (ceil(n_pixels/lanes)*lanes,) per-pixel sums — trim to n_pixels.
+    ``lanes`` persistent lanes over n_pixels*spp sample-major work items.
+    Returns a Vec3 of (n_pixels,) per-pixel sums.
 
     Requires wide tables (scene.wide_rows); no area-light tables (render.py
     falls back to the drain wavefront for those).
     """
     assert getattr(scene, "wide_rows", None) is not None
     R = lanes
-    n_chunks = -(-n_pixels // lanes)
+    n_items = n_pixels * spp
+    n_chunks = -(-n_items // lanes)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
-    xs = lane % config.image_width
-    ys = lane // config.image_width
+    item0 = jnp.minimum(lane, n_items - 1)
+    pixel0 = item0 % n_pixels
+    xs = pixel0 % config.image_width
+    ys = pixel0 // config.image_width
     i32 = lambda v: jnp.full(R, v, jnp.int32)
     fz = jnp.zeros(R, jnp.float32)
     v0 = Vec3(fz, fz, fz)
@@ -452,7 +452,6 @@ def path_trace_megakernel(
     )
     state = _MkState(
         seed=rng.Seed(*(jnp.zeros(R, jnp.uint32) for _ in range(4))),
-        sample_i=i32(0),
         bounce_i=i32(0),
         info=dead_info,
         roughness=fz,
@@ -460,7 +459,6 @@ def path_trace_megakernel(
         regularization=ones,
         cur=v0,
         chunk=i32(0),
-        pix_acc=v0,
         acc_r=jnp.zeros((n_chunks, R), jnp.float32),
         acc_g=jnp.zeros((n_chunks, R), jnp.float32),
         acc_b=jnp.zeros((n_chunks, R), jnp.float32),
@@ -471,7 +469,7 @@ def path_trace_megakernel(
             color=v0,
             cos_solid_angle=ones,
         ),
-        lane_done=lane >= n_pixels,
+        lane_done=lane >= n_items,
         phase=i32(_PH_PRIMARY),
         ray_o=v0,
         ray_d=Vec3(fz, fz, ones),
@@ -487,8 +485,8 @@ def path_trace_megakernel(
             jnp.full(R, np.uint32(END_TLAS), jnp.uint32),
         ),
     )
-    # ---- boot: spawn sample 0 on every lane (same draws as a respawn) ----
-    sample_index = jnp.full(R, sample_base, jnp.int32)
+    # ---- boot: spawn item L on lane L (same draws as a respawn) ----
+    sample_index = sample_base + item0 // n_pixels
     smbs = config.samples_per_motion_blur_step
     subframe = jnp.where(sample_index < 0, 0, sample_index // smbs).astype(
         jnp.int32
@@ -499,7 +497,7 @@ def path_trace_megakernel(
         sample_index.astype(jnp.uint32),
         jnp.full(R, config.student_id, jnp.uint32),
     )
-    boot_live = lane < n_pixels
+    boot_live = lane < n_items
     seed = rng.pcg4d(seed)
     seed, u = rng.uniform4_masked(seed, boot_live)
     film = sample_gaussian_weighted_disk(Vec2(u.x, u.y), f32(0.4)) + 0.5
@@ -555,11 +553,10 @@ def path_trace_megakernel(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    return Vec3(
-        final.acc_r.reshape(-1),
-        final.acc_g.reshape(-1),
-        final.acc_b.reshape(-1),
-    )
+    # fold samples: the flat accumulator is item order (sample-major), so
+    # per-pixel sums are one reshape + axis-0 reduce
+    fold = lambda a: a.reshape(-1)[:n_items].reshape(spp, n_pixels).sum(0)
+    return Vec3(fold(final.acc_r), fold(final.acc_g), fold(final.acc_b))
 
 
 # Service fires when due lanes are at least 1/SERVICE_DIV of the live set.
