@@ -96,12 +96,15 @@ class SceneBuilder:
             ),
         )
 
-    def build(self, config: RenderConfig = TESTING, emissive_nee: bool = False):
+    def build(self, config: RenderConfig = TESTING, emissive_nee: bool = False,
+              wide: bool | None = None):
         """Builds the TLAS + subframes and returns (Scene, SceneDevice).
 
         emissive_nee=True packs the area-light NEE tables
         (ops/arealights.py) so the integrator importance-samples emissive
-        triangles — opt-in because it changes the RNG stream."""
+        triangles — opt-in because it changes the RNG stream.
+        wide=None attaches the wide-BVH mega-table (the megakernel's fast
+        path) when the default backend is TPU; True/False force it."""
         s = self.scene
         if not s.instances:
             raise ValueError("no instances added")
@@ -125,6 +128,10 @@ class SceneBuilder:
             for _ in range(config.subframe_count)
         ]
         s.static_instance_count = len(s.instances)
+        if wide is None:
+            import jax
+
+            wide = jax.default_backend() == "tpu"
         device = pack_scene(
             s.mesh_buf.arrays(),
             s.bvh_buf.nodes,
@@ -132,6 +139,7 @@ class SceneBuilder:
             s.instances,
             s.subframes,
             emissive_nee=emissive_nee,
+            wide=wide,
         )
         return s, device
 

@@ -200,14 +200,17 @@ def bench_grads(scale, json_path):
     ys = jnp.asarray(rng.integers(0, TESTING.image_height, n), jnp.int32)
     si = jnp.asarray(rng.integers(0, 8, n), jnp.int32)
     fn = make_render_grad_fn(TESTING)
+    # time by host-fetching a scalar: block_until_ready does NOT block
+    # through the axon tunnel (tools/tpu_diag.py methodology); the device
+    # executes in order, so fetching the last rep's loss fences all reps.
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(scene, xs, ys, si))
+    float(fn(scene, xs, ys, si)[0])
     compile_s = time.perf_counter() - t0
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(scene, xs, ys, si)
-    jax.block_until_ready(out)
+    float(out[0])
     dt = (time.perf_counter() - t0) / reps
     ms = n / dt / 1e6
     _emit({
