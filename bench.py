@@ -67,9 +67,16 @@ def main():
     # wide=True attaches the mega-table traversal (accel/wide.py) — the
     # TPU-native fast path, bit-identical results; PT_WIDE=0 reverts to the
     # binary octant-link walk for A/B.
+    from pathtracing_tpu.tuning import get_tuning
+
+    wl = os.environ.get("PT_WIDE_LAYOUT") or str(
+        get_tuning("tpu", "small").get("wide_layout", "w8")
+    )
     scene = scene_device_from_golden(
         load_golden(str(_REPO / "tests" / "golden" / "scene.gold")),
         wide=os.environ.get("PT_WIDE", "1") == "1",
+        leaf_bundle=None,
+        wide_layout=wl,
     )
 
     # tuning knobs (results are bit-identical under all of these; see
@@ -113,6 +120,9 @@ def main():
     v = os.environ.get("PT_MK_LEAF")
     if v:
         _render.DEFAULT_MK_LEAF = int(v)
+    v = os.environ.get("PT_MK_SERVICE")
+    if v:
+        _render.DEFAULT_MK_SERVICE = int(v)
 
     W, H = TESTING.image_width, TESTING.image_height
     spp = 8

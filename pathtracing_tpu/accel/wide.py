@@ -32,11 +32,16 @@ bundle are tested in canonical (forward) order rather than the octant's
 flipped order, so two candidates with *exactly* equal t could tie-break
 differently -- golden-tested to not occur.
 
-Cursor / link encoding (uint32):
+Cursor / link encoding (uint32; B = layout.slot_bits):
   bits 30..31  kind: 0=WIDE 1=LEAF 2=INST 3=sentinel
-  bits  3..29  row index into the mega table
-  bits  0..2   start slot (WIDE re-entry; zero otherwise)
+  bits  B..29  row index into the mega table
+  bits  0..B-1 start slot (WIDE re-entry; zero otherwise)
   sentinels: END_TLAS (lane done), END_BLAS (pop to the TLAS resume cursor)
+
+Two layouts ship (LAYOUT_W8 / LAYOUT_W16, keyed by row width): 8 slots +
+4-tri leaves in 192 B rows, and 16 slots + 8-tri leaves in 352 B rows —
+the fat variant halves gathered rows per ray, and v5e row gathers are
+width-flat to >=512 B (BENCH_NOTES round 2), so the fat rows are free.
 """
 
 from __future__ import annotations
@@ -48,9 +53,6 @@ import numpy as np
 f32 = np.float32
 u32 = np.uint32
 
-W_ROW = 48           # f32 columns per mega-table row (192 B)
-N_SLOTS = 8          # slots per wide node
-LEAF_TRIS = 4        # triangles per leaf row
 KIND_WIDE = 0
 KIND_LEAF = 1
 KIND_INST = 2
@@ -60,15 +62,15 @@ END_BLAS = u32((3 << 30) | 1)
 _LEAF_BIT = u32(0x80000000)
 _INVALID = u32(0xFFFFFFFF)
 
-# wide-row column layout
-#   0..23   8 slots x 3 f32 of packed bf16 AABB halves
-#   24..31  8 slot links (u32 bit patterns)
-#   32      exit link (u32)
+# wide-row column layout (S = layout.n_slots, L = layout.leaf_tris)
+#   0..3S-1     S slots x 3 f32 of packed bf16 AABB halves
+#   3S..4S-1    S slot links (u32 bit patterns)
+#   4S          exit link (u32)
 # leaf-row column layout
-#   0..35   4 triangles x 9 f32 mesh-space vertices
-#   36..39  4 prim ids (int32 bits; -1 = empty)
-#   40      next link (u32): next chained leaf row or RETURN sentinel
-# inst-row column layout
+#   0..9L-1     L triangles x 9 f32 mesh-space vertices
+#   9L..10L-1   L prim ids (int32 bits; -1 = empty)
+#   10L         next link (u32): next chained leaf row or RETURN sentinel
+# inst-row column layout (layout-independent; W_ROW >= 21 always)
 #   0..11   inverse transform columns (as scene/device.py inst_f[:, :12])
 #   12..19  8 per-octant BLAS entry links (u32)
 #   20      instance id (int32 bits)
@@ -76,9 +78,49 @@ _INVALID = u32(0xFFFFFFFF)
 RETURN_SENTINEL = u32((3 << 30) | 2)   # leaf chain end -> leaf_resume
 
 
+class WideLayout:
+    """Row geometry of the mega table. Cursor bits: kind in 30..31, start
+    slot in the low ``slot_bits``, row index in between. Row width is the
+    free lever (v5e row gathers are FLAT in width to >=512 B, BENCH_NOTES
+    round 2), so fatter nodes cut gathered rows per ray ~for free."""
+
+    def __init__(self, n_slots: int, leaf_tris: int):
+        self.n_slots = n_slots
+        self.leaf_tris = leaf_tris
+        self.slot_bits = max(3, (n_slots - 1).bit_length())
+        self.row_mask = u32((1 << (30 - self.slot_bits)) - 1)
+        # pad width to a multiple of 8 f32 (32 B) for tiling friendliness;
+        # keeps w8 at the proven 48-col rows
+        need = max(4 * n_slots + 1, 10 * leaf_tris + 1, 21)
+        self.w_row = -(-(need + 1) // 8) * 8
+        # column offsets
+        self.links_col = 3 * n_slots         # wide rows
+        self.exit_col = 4 * n_slots
+        self.prims_col = 9 * leaf_tris       # leaf rows
+        self.next_col = 10 * leaf_tris
+
+    def make_cursor(self, kind: int, row: int, slot: int = 0) -> u32:
+        assert 0 <= row < (1 << (30 - self.slot_bits)), row
+        assert 0 <= slot < self.n_slots
+        return u32((kind << 30) | (row << self.slot_bits) | slot)
+
+
+# The two shipped layouts, keyed by row width (ops/wide_traversal.py
+# recovers the layout from scene.wide_rows.shape[1]):
+#   w8  : 8 slots / 4-tri leaves, 132 B rows (the round-2 original)
+#   w16 : 16 slots / 8-tri leaves, 324 B rows — ~2x fewer gathers per ray
+LAYOUT_W8 = WideLayout(8, 4)
+LAYOUT_W16 = WideLayout(16, 8)
+LAYOUTS_BY_WIDTH = {LAYOUT_W8.w_row: LAYOUT_W8, LAYOUT_W16.w_row: LAYOUT_W16}
+
+# Back-compat module constants (the w8 layout).
+W_ROW = LAYOUT_W8.w_row
+N_SLOTS = LAYOUT_W8.n_slots
+LEAF_TRIS = LAYOUT_W8.leaf_tris
+
+
 def make_cursor(kind: int, row: int, slot: int = 0) -> int:
-    assert 0 <= row < (1 << 27) and 0 <= slot < 8
-    return u32((kind << 30) | (row << 3) | slot)
+    return LAYOUT_W8.make_cursor(kind, row, slot)
 
 
 @dataclass
@@ -223,16 +265,29 @@ def _empty_slot_aabb():
 
 
 class WideBuilder:
-    """Accumulates mega-table rows for one scene."""
+    """Accumulates mega-table rows for one scene (or one frame tail).
 
-    def __init__(self, leaf_bundle: int = 8):
-        self.rows: list = []          # list of np (W_ROW,) f32
+    ``base`` offsets every emitted row id/cursor: a per-frame tail builder
+    allocates rows [base, base+K) so its cursors address the concatenation
+    [static_rows; tail_rows] directly (scene/device.WideScenePacker).
+    """
+
+    def __init__(self, leaf_bundle: int | None = 8, base: int = 0,
+                 layout: WideLayout = LAYOUT_W8):
+        self.rows: list = []          # list of np (layout.w_row,) f32
         self.fixups: list = []        # (row, col, cursor-lambda) deferred links
+        self.layout = layout
+        if leaf_bundle is None:
+            leaf_bundle = 2 * layout.leaf_tris
         self.leaf_bundle = leaf_bundle
+        self.base = base
 
     def _alloc(self) -> int:
-        self.rows.append(np.zeros(W_ROW, f32))
-        return len(self.rows) - 1
+        self.rows.append(np.zeros(self.layout.w_row, f32))
+        return self.base + len(self.rows) - 1
+
+    def _row(self, rid: int) -> np.ndarray:
+        return self.rows[rid - self.base]
 
     # -- leaf rows (canonical order, shared across octants) ----------------
 
@@ -240,23 +295,24 @@ class WideBuilder:
         """Rows for a bundle of triangles; returns the first row id.
         prims: list of mesh-local prim ids in canonical DFS order.
         tri_pos_lookup(prim) -> (9,) mesh-space vertices."""
+        lay = self.layout
         first = None
         prev = None
-        for lo in range(0, len(prims), LEAF_TRIS):
+        for lo in range(0, len(prims), lay.leaf_tris):
             rid = self._alloc()
-            row = self.rows[rid]
-            batch = prims[lo : lo + LEAF_TRIS]
+            row = self._row(rid)
+            batch = prims[lo : lo + lay.leaf_tris]
             for k, p in enumerate(batch):
                 row[9 * k : 9 * k + 9] = tri_pos_lookup(p)
-            ids = np.full(LEAF_TRIS, -1, np.int32)
+            ids = np.full(lay.leaf_tris, -1, np.int32)
             ids[: len(batch)] = batch
-            row[36:40] = ids.view(f32)
-            row[40] = np.array([RETURN_SENTINEL], u32).view(f32)[0]
+            row[lay.prims_col : lay.prims_col + lay.leaf_tris] = ids.view(f32)
+            row[lay.next_col] = np.array([RETURN_SENTINEL], u32).view(f32)[0]
             if first is None:
                 first = rid
             if prev is not None:
-                self.rows[prev][40] = np.array(
-                    [make_cursor(KIND_LEAF, rid)], u32
+                self._row(prev)[lay.next_col] = np.array(
+                    [lay.make_cursor(KIND_LEAF, rid)], u32
                 ).view(f32)[0]
             prev = rid
         return first
@@ -268,7 +324,7 @@ class WideBuilder:
         """blas_entry_by_oct: list of 8 cursors (filled later via fixup if
         the BLAS trees are built after; pass callables for deferral)."""
         rid = self._alloc()
-        row = self.rows[rid]
+        row = self._row(rid)
         row[0:12] = np.asarray(inv_transform_cols12, f32)
         for o in range(8):
             e = blas_entry_by_oct[o]
@@ -297,12 +353,13 @@ class WideBuilder:
         return self._emit_wide(root_group, leaf_target, exit_cursor)
 
     def _emit_wide(self, group: _Group, leaf_target, exit_cursor) -> int:
+        lay = self.layout
         rid = self._alloc()
-        row = self.rows[rid]
-        slots = _expand_slots(group, N_SLOTS)
-        assert len(slots) <= N_SLOTS
-        u = np.zeros(9, u32)   # 8 slot links + exit
-        for j in range(N_SLOTS):
+        row = self._row(rid)
+        slots = _expand_slots(group, lay.n_slots)
+        assert len(slots) <= lay.n_slots
+        u = np.zeros(lay.n_slots, u32)   # slot links
+        for j in range(lay.n_slots):
             if j < len(slots):
                 s = slots[j]
                 row[3 * j : 3 * j + 3] = _pack_slot_aabb(s.bmin, s.bmax)
@@ -314,20 +371,20 @@ class WideBuilder:
                 u[j] = leaf_target(self._collect_prims(s), s)
             else:
                 child = self._emit_wide(s, leaf_target, exit_cursor)
-                u[j] = make_cursor(KIND_WIDE, child)
+                u[j] = lay.make_cursor(KIND_WIDE, child)
                 # child's exit: resume this row at slot j+1 (overwrites the
                 # exit_cursor the recursive emit stored); when j was the
                 # last populated slot a re-entry would find nothing, so
                 # forward directly to this row's own exit (fixup: our exit
                 # may itself be patched by OUR parent after we return)
                 if j + 1 < len(slots):
-                    self.rows[child][32] = np.array(
-                        [make_cursor(KIND_WIDE, rid, j + 1)], u32
+                    self._row(child)[lay.exit_col] = np.array(
+                        [lay.make_cursor(KIND_WIDE, rid, j + 1)], u32
                     ).view(f32)[0]
                 else:
-                    self.fixups.append((child, 32, ("copy_exit", rid)))
-        row[24:32] = u[:8].view(f32)
-        row[32] = np.array([u32(exit_cursor)], u32).view(f32)[0]
+                    self.fixups.append((child, lay.exit_col, ("copy_exit", rid)))
+        row[lay.links_col : lay.links_col + lay.n_slots] = u.view(f32)
+        row[lay.exit_col] = np.array([u32(exit_cursor)], u32).view(f32)[0]
         return rid
 
     def _collect_prims(self, g: _Group) -> list:
@@ -346,81 +403,117 @@ class WideBuilder:
             if callable(spec):
                 val = u32(spec())
             elif isinstance(spec, tuple) and spec[0] == "copy_exit":
-                val = np.asarray(self.rows[spec[1]][32], f32).view(u32)[()]
+                val = np.asarray(
+                    self._row(spec[1])[self.layout.exit_col], f32
+                ).view(u32)[()]
             else:
                 raise ValueError(spec)
-            self.rows[rid][col] = np.array([val], u32).view(f32)[0]
+            self._row(rid)[col] = np.array([val], u32).view(f32)[0]
         self.fixups = []
         if not self.rows:
-            return np.zeros((1, W_ROW), f32)
+            return np.zeros((1, self.layout.w_row), f32)
         return np.stack(self.rows)
 
 
-def build_wide_tables(
-    mesh_arrays,
-    bvh_nodes: np.ndarray,
-    bvh_links: np.ndarray,
-    instances,
-    subframes,
-    leaf_bundle: int = 8,
-):
-    """Mega-table for a packed scene (same inputs as scene/device.pack_scene).
+class WideStaticRegion:
+    """The immutable prefix of the mega table: BLAS wide trees + shared
+    leaf chains for every (mesh, blas) pair that can ever be instanced.
 
-    Returns (mega (M, 48) f32, root_by_off (max_tlas_offset+1, 8) int32 —
-    per-octant TLAS root cursors indexed by tlas node_offset, the handle the
-    traversal already carries per lane).
+    Built ONCE after load_scene; per-frame packing appends only instance
+    rows + subframe-TLAS wide trees (build_frame_tail) whose cursors point
+    back into this region. Mirrors the reference's split between the static
+    BLAS buffers and the per-frame TLAS rebuild (reference: scene.cc:271-718,
+    bvh.hh:82-87).
     """
-    import sys
 
-    if sys.getrecursionlimit() < 100000:
-        sys.setrecursionlimit(100000)
-    b = WideBuilder(leaf_bundle=leaf_bundle)
-    nodes = np.asarray(bvh_nodes, f32)
-    links_all = np.ascontiguousarray(bvh_links, u32)
-    indices, pos = mesh_arrays[0], mesh_arrays[1]
+    def __init__(
+        self,
+        mesh_arrays,
+        bvh_nodes: np.ndarray,
+        bvh_links: np.ndarray,
+        mesh_blas_pairs,
+        leaf_bundle: int | None = 8,
+        layout: WideLayout = LAYOUT_W8,
+    ):
+        import sys
 
-    # ---- BLAS wide trees (8 octants each), one per distinct mesh/blas ----
-    blas_roots: dict = {}        # (node_offset, node_count) -> (8,) cursors
-    leaf_cache: dict = {}
+        if sys.getrecursionlimit() < 100000:
+            sys.setrecursionlimit(100000)
+        b = WideBuilder(leaf_bundle=leaf_bundle, layout=layout)
+        self.layout = layout
+        nodes = np.asarray(bvh_nodes, f32)
+        links_all = np.ascontiguousarray(bvh_links, u32)
+        indices, pos = mesh_arrays[0], mesh_arrays[1]
 
-    def mesh_leaf_chain(mesh, prims):
-        # canonical (sorted) order so all 8 octants share one chain; within
-        # a bundle only exact-t ties could observe the order (see docstring)
-        prims = sorted(prims)
-        key = (mesh.index_offset, tuple(prims))
-        if key not in leaf_cache:
-            def tri9(p):
-                tri = indices[
-                    mesh.index_offset + 3 * p : mesh.index_offset + 3 * p + 3
-                ].astype(np.int64) + mesh.base_vertex_offset
-                return pos[tri].reshape(9)
-            leaf_cache[key] = b.build_leaf_chain(list(prims), tri9)
-        return make_cursor(KIND_LEAF, leaf_cache[key])
+        # (node_offset, node_count) -> (8,) per-octant root cursors
+        self.blas_roots: dict = {}
+        self.leaf_bundle = leaf_bundle
+        leaf_cache: dict = {}
 
-    inst_rows = []
-    for inst_id, inst in enumerate(instances):
-        blas = inst.blas
-        mesh = inst.mesh
-        key = (blas.node_offset, blas.node_count)
-        if key not in blas_roots:
+        def mesh_leaf_chain(mesh, prims):
+            # canonical (sorted) order so all 8 octants share one chain;
+            # within a bundle only exact-t ties could observe the order
+            # (see module docstring)
+            prims = sorted(prims)
+            key = (mesh.index_offset, tuple(prims))
+            if key not in leaf_cache:
+                def tri9(p):
+                    tri = indices[
+                        mesh.index_offset + 3 * p : mesh.index_offset + 3 * p + 3
+                    ].astype(np.int64) + mesh.base_vertex_offset
+                    return pos[tri].reshape(9)
+                leaf_cache[key] = b.build_leaf_chain(list(prims), tri9)
+            return layout.make_cursor(KIND_LEAF, leaf_cache[key])
+
+        for mesh, blas in mesh_blas_pairs:
+            key = (blas.node_offset, blas.node_count)
+            if key in self.blas_roots or blas.node_count == 0:
+                continue
             cursors = np.zeros(8, u32)
             for o in range(8):
                 lo = 8 * blas.node_offset + o * blas.node_count
                 links = links_all[lo : lo + blas.node_count]
-                n6 = nodes[blas.node_offset : blas.node_offset + blas.node_count]
+                n6 = nodes[
+                    blas.node_offset : blas.node_offset + blas.node_count
+                ]
 
                 def leaf_target(prims, group, mesh=mesh):
                     return mesh_leaf_chain(mesh, prims)
 
                 rid = b.build_wide_tree(links, n6, 0, leaf_target, END_BLAS)
-                cursors[o] = make_cursor(KIND_WIDE, rid)
-            blas_roots[key] = cursors
-        inv12 = np.asarray(inst.inv_transform, f32)[:, 0:3].reshape(-1)
-        inst_rows.append(
-            b.build_inst_row(inv12, inst_id, list(blas_roots[key]))
-        )
+                cursors[o] = layout.make_cursor(KIND_WIDE, rid)
+            self.blas_roots[key] = cursors
 
-    # ---- TLAS wide trees ------------------------------------------------
+        self.rows = b.finalize()     # (S, 48) f32
+
+
+def build_frame_tail(
+    static: WideStaticRegion,
+    bvh_nodes: np.ndarray,
+    bvh_links: np.ndarray,
+    instances,
+    subframes,
+):
+    """Per-frame mega-table tail: instance rows + subframe TLAS wide trees.
+
+    Tail cursors are absolute into [static.rows; tail], so the device-side
+    table is their plain concatenation. Returns (tail (K, 48) f32 — possibly
+    K=0 — and root_by_off (max_tlas_offset+1, 8) int32).
+    """
+    lay = static.layout
+    b = WideBuilder(
+        leaf_bundle=static.leaf_bundle, base=len(static.rows), layout=lay
+    )
+    nodes = np.asarray(bvh_nodes, f32)
+    links_all = np.ascontiguousarray(bvh_links, u32)
+
+    inst_rows = []
+    for inst_id, inst in enumerate(instances):
+        key = (inst.blas.node_offset, inst.blas.node_count)
+        roots = static.blas_roots[key]
+        inv12 = np.asarray(inst.inv_transform, f32)[:, 0:3].reshape(-1)
+        inst_rows.append(b.build_inst_row(inv12, inst_id, list(roots)))
+
     tlas_cache = {}
     max_off = 0
     for sf in subframes:
@@ -437,19 +530,47 @@ def build_wide_tables(
 
             def leaf_target(prims, group):
                 assert len(prims) == 1, "instance slots are not bundled"
-                return make_cursor(KIND_INST, inst_rows[prims[0]])
+                return lay.make_cursor(KIND_INST, inst_rows[prims[0]])
 
             # instance leaves must never bundle: disable via leaf_bundle=0
             saved = b.leaf_bundle
             b.leaf_bundle = 0
             rid = b.build_wide_tree(links, n6, 0, leaf_target, END_TLAS)
             b.leaf_bundle = saved
-            cursors[o] = make_cursor(KIND_WIDE, rid)
+            cursors[o] = lay.make_cursor(KIND_WIDE, rid)
         tlas_cache[key] = cursors
 
     root_by_off = np.full((max_off + 1, 8), END_TLAS, u32)
     for (off, _cnt), cursors in tlas_cache.items():
         root_by_off[off] = cursors
 
-    mega = b.finalize()
-    return mega, root_by_off.view(np.int32)
+    tail = b.finalize() if b.rows else np.zeros((0, lay.w_row), f32)
+    return tail, root_by_off.view(np.int32)
+
+
+def build_wide_tables(
+    mesh_arrays,
+    bvh_nodes: np.ndarray,
+    bvh_links: np.ndarray,
+    instances,
+    subframes,
+    leaf_bundle: int | None = 8,
+    layout: WideLayout = LAYOUT_W8,
+):
+    """Mega-table for a packed scene (same inputs as scene/device.pack_scene).
+
+    Returns (mega (M, 48) f32, root_by_off (max_tlas_offset+1, 8) int32 —
+    per-octant TLAS root cursors indexed by tlas node_offset, the handle the
+    traversal already carries per lane). One-shot composition of the
+    static-region + frame-tail builders used by the animated frame loop.
+    """
+    static = WideStaticRegion(
+        mesh_arrays, bvh_nodes, bvh_links,
+        [(i.mesh, i.blas) for i in instances], leaf_bundle=leaf_bundle,
+        layout=layout,
+    )
+    tail, root_by_off = build_frame_tail(
+        static, bvh_nodes, bvh_links, instances, subframes
+    )
+    mega = np.concatenate([static.rows, tail]) if len(tail) else static.rows
+    return mega, root_by_off

@@ -69,6 +69,14 @@ def main(argv=None):
         help="use the path-regeneration wavefront kernel (ops/wavefront.py)",
     )
     ap.add_argument(
+        "--wide",
+        choices=["auto", "1", "0"],
+        default="auto",
+        help="attach the wide-BVH mega-table fast path (accel/wide.py; "
+        "enables the persistent-lane megakernel on TPU). auto = on when "
+        "the backend is tpu",
+    )
+    ap.add_argument(
         "--shard",
         action="store_true",
         help="shard each frame over all local devices (tiles axis)",
@@ -134,6 +142,7 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
 
+    wide = (backend == "tpu") if args.wide == "auto" else args.wide == "1"
     t0 = time.perf_counter()
     if args.model != "full_animation":
         from pathtracing_tpu import models
@@ -143,11 +152,13 @@ def main(argv=None):
             if args.data_dir and args.model == "teapot_rocks"
             else {}
         )
+        if args.model == "teapot_rocks":
+            kw["wide"] = wide
         _, static_dev = models.build(args.model, config, **kw)
         scene = packer = None
     else:
         scene = load_scene(data_dir=args.data_dir, config=config)
-        packer = DevicePacker(scene)
+        packer = DevicePacker(scene, wide=wide)
     print(
         f"EXECUTION TIME OF load_scene() : "
         f"{(time.perf_counter()-t0)*1e3:.0f}ms"

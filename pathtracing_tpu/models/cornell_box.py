@@ -113,6 +113,7 @@ def build(
     config: RenderConfig = TESTING,
     asset_dir: str | None = None,
     emissive_nee: bool = True,
+    wide: bool | None = None,
 ):
     """Returns (Scene, SceneDevice). emissive_nee=True (default) packs the
     area-light tables so the integrator importance-samples the ceiling
@@ -129,4 +130,4 @@ def build(
     # no sun: the ceiling panel is the only light (sky goes black too —
     # both the in-scatter and the sun-disk miss shading scale by the color)
     b.set_light(direction=(0, 1, 0), color=(0, 0, 0))
-    return b.build(config, emissive_nee=emissive_nee)
+    return b.build(config, emissive_nee=emissive_nee, wide=wide)

@@ -19,23 +19,25 @@ def build(
     config: RenderConfig = TESTING,
     frame: int = 0,
     data_dir: str | None = None,
+    wide: bool | None = None,
 ):
     """Returns (Scene, SceneDevice) at animation frame ``frame``.
 
-    For a frame loop, keep the Scene and call
-    scene.loader.setup_animation_frame + scene.device.DevicePacker per frame
-    (render.render_frames does this with host/device pipelining).
+    wide=True attaches the mega-table fast path (accel/wide.py) via the
+    incremental DevicePacker — static BLAS wide trees built once, only the
+    frame's TLAS tail packed here; None auto-enables it on TPU. For a frame
+    loop, keep the Scene and call scene.loader.setup_animation_frame +
+    DevicePacker.pack_frame per frame (cli.py does this with host/device
+    pipelining).
     """
-    from pathtracing_tpu.scene.device import pack_scene
+    import jax
+
+    from pathtracing_tpu.scene.device import DevicePacker
     from pathtracing_tpu.scene.loader import load_scene, setup_animation_frame
 
+    if wide is None:
+        wide = jax.default_backend() == "tpu"
     s = load_scene(data_dir=data_dir, config=config)
     setup_animation_frame(s, frame, config)
-    dev = pack_scene(
-        s.mesh_buf.arrays(),
-        s.bvh_buf.nodes,
-        s.bvh_buf.links,
-        s.instances,
-        s.subframes,
-    )
+    dev = DevicePacker(s, wide=wide).pack_frame(s)
     return s, dev

@@ -69,6 +69,7 @@ def build(
     config: RenderConfig = TESTING,
     sphere_pos=(0.0, 1.0, 0.0),
     asset_dir: str | None = None,
+    wide: bool | None = None,
 ):
     """Returns (Scene, SceneDevice). The sphere is instance index 1."""
     asset_dir = asset_dir or tempfile.mkdtemp(prefix="sphere_ground_")
@@ -86,4 +87,4 @@ def build(
     b.add_instance("sphere", pos=tuple(sphere_pos))
     b.set_camera(position=(0, 2.2, 6.0), pitch_yaw_roll=(10, 0, 0), fov=50)
     b.set_light(direction=(0.45, 1.0, 0.35), color=(4, 4, 4))
-    return b.build(config)
+    return b.build(config, wide=wide)

@@ -35,6 +35,7 @@ def build(
     config: RenderConfig = TESTING,
     data_dir: str | None = None,
     asset_dir: str | None = None,
+    wide: bool | None = None,
 ):
     """Returns (Scene, SceneDevice)."""
     data_dir = data_dir or _default_data_dir()
@@ -65,4 +66,4 @@ def build(
         position=(0, 6.5, 16.0), pitch_yaw_roll=(16, 0, 0), fov=55
     )
     b.set_light(direction=(0.4, 1.0, 0.3), color=(4, 4, 4))
-    return b.build(config)
+    return b.build(config, wide=wide)

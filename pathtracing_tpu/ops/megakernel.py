@@ -405,6 +405,7 @@ def path_trace_megakernel(
     sample_base: int = 0,
     lanes: int = 32768,
     leaf_every: int = DEFAULT_MK_LEAF_EVERY,
+    service_div: int | None = None,
 ):
     """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
     for pixels [0, n_pixels) of a config.image_width-wide frame, with
@@ -530,6 +531,8 @@ def path_trace_megakernel(
     # the loop degenerates to the pure wide walk; on short-path tiles
     # (sky) they fire every period. This is what drain compaction does
     # for the wavefront renderer, without ever permuting lanes.
+    sdiv = SERVICE_DIV if service_div is None else service_div
+
     def body(s):
         consts = _consts(s)
         for _ in range(leaf_every - 1):
@@ -543,7 +546,7 @@ def path_trace_megakernel(
         live = jnp.logical_not(s.lane_done)
         due = jnp.count_nonzero(s.trav.done & live)
         stuck = jnp.count_nonzero(jnp.logical_not(s.trav.done) & live)
-        do_service = (due * SERVICE_DIV >= stuck + due) | (stuck == 0)
+        do_service = (due * sdiv >= stuck + due) | (stuck == 0)
         return jax.lax.cond(
             do_service,
             lambda st: _service(config, scene, st, spp, sample_base,

@@ -32,8 +32,14 @@ import numpy as np
 from pathtracing_tpu.accel.wide import (
     END_BLAS,
     END_TLAS,
+    LAYOUTS_BY_WIDTH,
     RETURN_SENTINEL,
 )
+
+
+def _layout_of(scene):
+    """Recover the (static) WideLayout from the mega table's row width."""
+    return LAYOUTS_BY_WIDTH[scene.wide_rows.shape[1]]
 from pathtracing_tpu.ops.traversal import (
     RayHit,
     _finalize_hit,
@@ -99,6 +105,8 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     R = s.cursor.shape
     u32c = lambda v: jnp.full(R, np.uint32(v), jnp.uint32)
 
+    lay = _layout_of(scene)
+    S = lay.n_slots
     cur = s.cursor
     done = s.done | (cur == u32c(END_TLAS))
     popped = jnp.logical_not(s.done) & (cur == u32c(END_BLAS))
@@ -107,7 +115,7 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
 
     kind = cur >> 30
     valid = jnp.logical_not(done)
-    row_id = ((cur >> 3) & _U(0x07FFFFFF)).astype(jnp.int32)
+    row_id = ((cur >> lay.slot_bits) & _U(lay.row_mask)).astype(jnp.int32)
     row = scene.wide_rows[jnp.where(valid, row_id, 0)]
     rbits = jax.lax.bitcast_convert_type(row, jnp.uint32)
 
@@ -117,10 +125,10 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     org = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), consts.org)
     inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), consts.t_inv)
 
-    start = (cur & _U(7)).astype(jnp.int32)
-    c0 = rbits[:, 0:24:3]
-    c1 = rbits[:, 1:24:3]
-    c2 = rbits[:, 2:24:3]
+    start = (cur & _U(S - 1)).astype(jnp.int32)
+    c0 = rbits[:, 0 : 3 * S : 3]
+    c1 = rbits[:, 1 : 3 * S : 3]
+    c2 = rbits[:, 2 : 3 * S : 3]
     ox, oy, oz = org.x[:, None], org.y[:, None], org.z[:, None]
     ix, iy, iz = inv.x[:, None], inv.y[:, None], inv.z[:, None]
     t0x = (_unpack_bf16_hi(c0) - ox) * ix
@@ -138,27 +146,27 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     tmin_b = tmin if jnp.ndim(tmin) == 0 else tmin[:, None]
     slot_hit = (near <= far) & (far > tmin_b) & (near < s.tmax[:, None])
 
-    links8 = rbits[:, 24:32]
-    iota8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+    links8 = rbits[:, lay.links_col : lay.links_col + S]
+    iota8 = jnp.arange(S, dtype=jnp.int32)[None, :]
     slot_ok = slot_hit & (iota8 >= start[:, None]) & (
         links8 != u32c(0xFFFFFFFF)[:, None]
     )
-    j = jnp.min(jnp.where(slot_ok, iota8, 8), axis=1)
-    found = is_wide & (j < 8)
+    j = jnp.min(jnp.where(slot_ok, iota8, S), axis=1)
+    found = is_wide & (j < S)
     onehot = iota8 == j[:, None]
     target = jnp.max(jnp.where(onehot, links8, 0), axis=1)
     tkind = target >> 30
-    exit_link = rbits[:, 32]
+    exit_link = rbits[:, lay.exit_col]
     resume = jnp.where(
-        j < 7,
-        (cur & _U(0xFFFFFFF8)) + (j + 1).astype(jnp.uint32),
+        j < S - 1,
+        (cur & ~_U(S - 1)) + (j + 1).astype(jnp.uint32),
         exit_link,
     )
     wide_next = jnp.where(found, target, exit_link)
 
     # LEAF rows: park + skip via the inline next-link
     can_park = is_leaf & (s.p_leaf == u32c(_EMPTY))
-    nxt = rbits[:, 40]
+    nxt = rbits[:, lay.next_col]
     leaf_next = jnp.where(nxt == u32c(RETURN_SENTINEL), s.leaf_resume, nxt)
 
     descend_inst = found & (tkind == 2)
@@ -179,21 +187,23 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     )
 
 
-def _leaf_block(row, s, tmin, mask):
-    """The 4-triangle exact-test block shared by the full step (current
+def _leaf_block(lay, row, s, tmin, mask):
+    """The L-triangle exact-test block shared by the full step (current
     LEAF row) and the deferred-flush path (parked row). Reproduces the
     sequential confirm semantics: each passing candidate shrinks tmax
     before the next is judged, winner = min-t with first-index tie-break
     (reference: ray_query.hh:280-290, path_tracer.hh:346-349)."""
     R = s.tmax.shape
-    prims = jax.lax.bitcast_convert_type(row[:, 36:40], jnp.int32)
+    prims = jax.lax.bitcast_convert_type(
+        row[:, lay.prims_col : lay.prims_col + lay.leaf_tris], jnp.int32
+    )
     b_org = Vec3(s.b_org_x, s.b_org_y, s.b_org_z)
     b_S = Vec3(s.b_S_x, s.b_S_y, s.b_S_z)
     best_t = jnp.full(R, jnp.inf, jnp.float32)
     best_prim = jnp.full(R, 0, jnp.int32)
     any_ok = jnp.zeros(R, bool)
     new_tmax = s.tmax
-    for k in range(4):
+    for k in range(lay.leaf_tris):
         v = row[:, 9 * k : 9 * k + 9]
         ok, _tu, _tv, tt, _tb = _tri_intersect(
             b_org, s.b_axis, b_S,
@@ -211,6 +221,8 @@ def _leaf_block(row, s, tmin, mask):
 
 
 def _wide_step(scene, s: _WideTravState, consts, tmin, anyhit):
+    lay = _layout_of(scene)
+    S = lay.n_slots
     R = s.cursor.shape
     u32c = lambda v: jnp.full(R, np.uint32(v), jnp.uint32)
 
@@ -223,9 +235,9 @@ def _wide_step(scene, s: _WideTravState, consts, tmin, anyhit):
 
     kind = cur >> 30
     valid = jnp.logical_not(done)
-    row_id = ((cur >> 3) & _U(0x07FFFFFF)).astype(jnp.int32)
-    row = scene.wide_rows[jnp.where(valid, row_id, 0)]      # (R, 48) gather
-    rbits = jax.lax.bitcast_convert_type(row, jnp.uint32)   # (R, 48)
+    row_id = ((cur >> lay.slot_bits) & _U(lay.row_mask)).astype(jnp.int32)
+    row = scene.wide_rows[jnp.where(valid, row_id, 0)]      # (R, W) gather
+    rbits = jax.lax.bitcast_convert_type(row, jnp.uint32)   # (R, W)
 
     is_wide = valid & (kind == 0)
     is_leaf = valid & (kind == 1)
@@ -234,11 +246,11 @@ def _wide_step(scene, s: _WideTravState, consts, tmin, anyhit):
     org = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), consts.org)
     inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), consts.t_inv)
 
-    # =============== WIDE: 8-slot slab test =========================
-    start = (cur & _U(7)).astype(jnp.int32)
-    c0 = rbits[:, 0:24:3]   # (R, 8): [minx|miny]
-    c1 = rbits[:, 1:24:3]   # [minz|maxx]
-    c2 = rbits[:, 2:24:3]   # [maxy|maxz]
+    # =============== WIDE: S-slot slab test =========================
+    start = (cur & _U(S - 1)).astype(jnp.int32)
+    c0 = rbits[:, 0 : 3 * S : 3]   # (R, S): [minx|miny]
+    c1 = rbits[:, 1 : 3 * S : 3]   # [minz|maxx]
+    c2 = rbits[:, 2 : 3 * S : 3]   # [maxy|maxz]
     nminx = _unpack_bf16_hi(c0)
     nminy = _unpack_bf16_lo(c0)
     nminz = _unpack_bf16_hi(c1)
@@ -262,22 +274,22 @@ def _wide_step(scene, s: _WideTravState, consts, tmin, anyhit):
     tmin_b = tmin if jnp.ndim(tmin) == 0 else tmin[:, None]
     slot_hit = (near <= far) & (far > tmin_b) & (near < s.tmax[:, None])
 
-    links8 = rbits[:, 24:32]                         # (R, 8)
-    iota8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+    links8 = rbits[:, lay.links_col : lay.links_col + S]     # (R, S)
+    iota8 = jnp.arange(S, dtype=jnp.int32)[None, :]
     slot_ok = slot_hit & (iota8 >= start[:, None]) & (
         links8 != u32c(0xFFFFFFFF)[:, None]
     )
-    j = jnp.min(jnp.where(slot_ok, iota8, 8), axis=1)       # (R,)
-    found = is_wide & (j < 8)
+    j = jnp.min(jnp.where(slot_ok, iota8, S), axis=1)       # (R,)
+    found = is_wide & (j < S)
     onehot = (iota8 == j[:, None])
     target = jnp.max(jnp.where(onehot, links8, 0), axis=1)  # links8[j]
     tkind = target >> 30
-    exit_link = rbits[:, 32]
+    exit_link = rbits[:, lay.exit_col]
     # resume cursor for leaf/inst descents: this row at slot j+1, or the
     # row's exit when j was the last slot
     resume = jnp.where(
-        j < 7,
-        (cur & _U(0xFFFFFFF8)) + (j + 1).astype(jnp.uint32),
+        j < S - 1,
+        (cur & ~_U(S - 1)) + (j + 1).astype(jnp.uint32),
         exit_link,
     )
     wide_next = jnp.where(found, target, exit_link)
@@ -298,8 +310,9 @@ def _wide_step(scene, s: _WideTravState, consts, tmin, anyhit):
     binv = _safe_inv(bd)
     boct = _octant(bd)
     baxis, bS = _tri_preprocess(bd)
-    entry_cols = rbits[:, 12:20]                      # (R, 8)
-    oct_onehot = iota8 == boct[:, None]
+    entry_cols = rbits[:, 12:20]                      # (R, 8) octant links
+    oct8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+    oct_onehot = oct8 == boct[:, None]
     blas_entry = jnp.max(jnp.where(oct_onehot, entry_cols, 0), axis=1)
     inst_id = jax.lax.bitcast_convert_type(row[:, 20], jnp.int32)
 
@@ -311,15 +324,17 @@ def _wide_step(scene, s: _WideTravState, consts, tmin, anyhit):
     pend = s.p_leaf != u32c(_EMPTY)
     leaf_cur = is_leaf & jnp.logical_not(pend)
     leaf_mask = pend | leaf_cur
-    p_row_id = ((s.p_leaf >> 3) & _U(0x07FFFFFF)).astype(jnp.int32)
+    p_row_id = (
+        (s.p_leaf >> lay.slot_bits) & _U(lay.row_mask)
+    ).astype(jnp.int32)
     leaf_row_id = jnp.where(
         pend, p_row_id, jnp.where(leaf_cur, row_id, 0)
     )
     leaf_row = scene.wide_rows[jnp.where(leaf_mask, leaf_row_id, 0)]
     any_ok, best_prim, new_tmax_leaf = _leaf_block(
-        leaf_row, s, tmin, leaf_mask
+        lay, leaf_row, s, tmin, leaf_mask
     )
-    nxt = rbits[:, 40]
+    nxt = rbits[:, lay.next_col]
     leaf_next = jnp.where(nxt == u32c(RETURN_SENTINEL), s.leaf_resume, nxt)
 
     # =============== merge ===========================================

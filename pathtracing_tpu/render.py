@@ -33,10 +33,10 @@ def _render_tile_wavefront(
     return acc.x, acc.y, acc.z
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
 def _render_frame_megakernel(
     config: RenderConfig, scene, n_pixels: int, spp: int, sample_base: int,
-    lanes: int, leaf_every: int,
+    lanes: int, leaf_every: int, service_div: int,
 ):
     """Persistent-lane megakernel (ops/megakernel.py): one while_loop renders
     the whole frame — no per-bounce drains, no compaction permutes."""
@@ -44,7 +44,7 @@ def _render_frame_megakernel(
 
     acc = path_trace_megakernel(
         config, scene, n_pixels, spp, sample_base, lanes=lanes,
-        leaf_every=leaf_every,
+        leaf_every=leaf_every, service_div=service_div,
     )
     return acc.x, acc.y, acc.z
 
@@ -68,10 +68,33 @@ def megakernel_supported(scene, xs, ys, width: int) -> bool:
 # set by bench.py's PT_MK_LANES / PT_MK_LEAF env vars and perf tooling.
 DEFAULT_MK_LANES: int | None = None
 DEFAULT_MK_LEAF: int | None = None
+DEFAULT_MK_SERVICE: int | None = None
+
+# Megakernel accumulator budget (MB): the per-item radiance planes cost
+# n_pixels x spp_chunk x 12 B, so big frames render as several sample-range
+# dispatches. 512 MB keeps the production frame (1920x1080) at 20 spp+ per
+# dispatch while leaving HBM for the scene tables.
+DEFAULT_MK_ACC_MB = 512
 
 
-def default_mk_knobs(scene) -> tuple[int, int]:
-    """Platform-resolved (mk_lanes, mk_leaf_every) from the tuning table."""
+def _mk_spp_chunk(n_pixels: int, spp: int) -> int:
+    """Largest per-dispatch spp within the accumulator budget; prefers a
+    divisor of spp so every dispatch reuses ONE compiled kernel."""
+    import os
+
+    budget = int(os.environ.get("PT_MK_ACC_MB", DEFAULT_MK_ACC_MB)) << 20
+    limit = max(1, budget // (n_pixels * 12))
+    if spp <= limit:
+        return spp
+    for c in range(limit, 0, -1):
+        if spp % c == 0:
+            return c
+    return limit
+
+
+def default_mk_knobs(scene) -> tuple[int, int, int]:
+    """Platform-resolved (mk_lanes, mk_leaf_every, mk_service_div) from the
+    tuning table."""
     from pathtracing_tpu.ops.traversal import LARGE_SCENE_NODES
     from pathtracing_tpu.tuning import get_tuning
 
@@ -79,7 +102,8 @@ def default_mk_knobs(scene) -> tuple[int, int]:
     t = get_tuning(jax.default_backend(), "large" if large else "small")
     lanes = DEFAULT_MK_LANES or int(t["mk_lanes"])
     leaf = DEFAULT_MK_LEAF or int(t["mk_leaf_every"])
-    return lanes, leaf
+    sdiv = DEFAULT_MK_SERVICE or int(t.get("mk_service_div", 8))
+    return lanes, leaf, sdiv
 
 
 @functools.partial(jax.jit, static_argnums=(0, 4))
@@ -203,13 +227,22 @@ def render_pixels(
                 "row-major [0, N) pixel list"
             )
         n = len(xs)
-        lanes, leaf = default_mk_knobs(scene)
-        r, g, b = _render_frame_megakernel(
-            config, scene, n, spp, int(sample_base), lanes, leaf
-        )
-        out = np.stack(
-            [np.asarray(r)[:n], np.asarray(g)[:n], np.asarray(b)[:n]], -1
-        )
+        lanes, leaf, sdiv = default_mk_knobs(scene)
+        out = np.zeros((n, 3), np.float32)
+        # Accumulator planes are O(n_pixels x spp) (ops/megakernel.py item
+        # order), which at the production config (1920x1080 @ 1024 spp) is
+        # ~25 GB — over HBM. Chunk the sample range so each dispatch's
+        # planes stay under the budget; partial sums add exactly (the
+        # sample-range seeding contract, reference: path_tracer.hh:659).
+        chunk = _mk_spp_chunk(n, spp)
+        for a in range(0, spp, chunk):
+            c = min(chunk, spp - a)
+            r, g, b = _render_frame_megakernel(
+                config, scene, n, c, int(sample_base) + a, lanes, leaf, sdiv
+            )
+            out[:, 0] += np.asarray(r)[:n]
+            out[:, 1] += np.asarray(g)[:n]
+            out[:, 2] += np.asarray(b)[:n]
         if average:
             return out / np.float32(spp)
         return out

@@ -109,8 +109,8 @@ def with_bf16_nodes(scene: "SceneDevice") -> "SceneDevice":
     return scene._replace(nl5=jnp.asarray(pack_nl5(np.asarray(scene.nl8))))
 
 
-def _instance_rows(instances):
-    I = max(len(instances), 1)
+def _instance_rows(instances, pad_to: int = 1):
+    I = max(len(instances), pad_to, 1)
     inst_f = np.zeros((I, 21), f32)
     inst_u = np.zeros((I, 6), np.int32)
     for i, inst in enumerate(instances):
@@ -210,6 +210,14 @@ def pack_vattr(normal, albedo, material) -> np.ndarray:
     return out
 
 
+def _wide_layout(name):
+    from pathtracing_tpu.accel.wide import LAYOUT_W8, LAYOUT_W16
+
+    if not isinstance(name, str):
+        return name
+    return {"w8": LAYOUT_W8, "w16": LAYOUT_W16}[name]
+
+
 def attach_wide(
     scene: "SceneDevice",
     mesh_arrays,
@@ -217,14 +225,15 @@ def attach_wide(
     bvh_links,
     instances,
     subframes,
-    leaf_bundle: int = 8,
+    leaf_bundle: int | None = 8,
+    layout="w8",
 ) -> "SceneDevice":
     """Attach the wide-BVH mega-table (accel/wide.py) to a packed scene."""
     from pathtracing_tpu.accel.wide import build_wide_tables
 
     mega, root_by_off = build_wide_tables(
         mesh_arrays, bvh_nodes, bvh_links, instances, subframes,
-        leaf_bundle=leaf_bundle,
+        leaf_bundle=leaf_bundle, layout=_wide_layout(layout),
     )
     return scene._replace(
         wide_rows=jnp.asarray(mega), wide_root=jnp.asarray(root_by_off)
@@ -239,7 +248,8 @@ def pack_scene(
     subframes,
     emissive_nee: bool = False,
     wide: bool = False,
-    leaf_bundle: int = 8,
+    leaf_bundle: int | None = 8,
+    wide_layout="w8",
 ) -> SceneDevice:
     """Pack host scene state into device arrays.
 
@@ -285,7 +295,7 @@ def pack_scene(
     if wide:
         scene = attach_wide(
             scene, mesh_arrays, bvh_nodes, bvh_links, instances, subframes,
-            leaf_bundle=leaf_bundle,
+            leaf_bundle=leaf_bundle, layout=wide_layout,
         )
         scene = scene._replace(
             tri_shade=dev(
@@ -330,7 +340,16 @@ class DevicePacker:
     on-device.
     """
 
-    def __init__(self, scene):
+    # shape-stability buckets: per-frame tails/tables are padded up to these
+    # multiples so every animation frame reuses ONE compiled kernel (tail
+    # sizes wobble frame-to-frame with the visible-instance set).
+    _NODE_BUCKET = 256     # binary-node tail granularity (nl8 rows = 8x)
+    _WIDE_BUCKET = 256     # mega-table tail rows
+    _ROOT_BUCKET = 64      # wide_root rows (indexed by tlas node_offset)
+    _INST_BUCKET = 8       # instance rows
+
+    def __init__(self, scene, wide: bool = False, leaf_bundle: int | None = 8,
+                 wide_layout="w8"):
         mesh_arrays = scene.mesh_buf.arrays()
         indices, pos, normal, albedo, material = mesh_arrays
         blas_segments = [
@@ -350,12 +369,32 @@ class DevicePacker:
                 blas_segments,
             )
         )
-        tri_pos, tri_idx = pack_tri_tables(
-            indices, pos, [m for (m, _) in scene.meshes.values()]
-        )
+        meshes = [m for (m, _) in scene.meshes.values()]
+        tri_pos, tri_idx = pack_tri_tables(indices, pos, meshes)
         self._tri_pos = jnp.asarray(tri_pos)
         self._tri_idx = jnp.asarray(tri_idx)
         self._vattr = jnp.asarray(pack_vattr(normal, albedo, material))
+
+        self._wide_static = None
+        if wide:
+            from pathtracing_tpu.accel.wide import WideStaticRegion
+
+            self._wide_static = WideStaticRegion(
+                mesh_arrays,
+                scene.bvh_buf.nodes[:n],
+                scene.bvh_buf.links[: 8 * n],
+                list(scene.meshes.values()),
+                leaf_bundle=leaf_bundle,
+                layout=_wide_layout(wide_layout),
+            )
+            self._wide_static_dev = jnp.asarray(self._wide_static.rows)
+            self._tri_shade = jnp.asarray(
+                pack_tri_shade(indices, pos, normal, albedo, material, meshes)
+            )
+
+    @staticmethod
+    def _bucket(n: int, b: int) -> int:
+        return -(-max(n, 1) // b) * b
 
     def pack_frame(self, scene) -> SceneDevice:
         """Pack the current frame state (after setup_animation_frame)."""
@@ -364,8 +403,11 @@ class DevicePacker:
         links = scene.bvh_buf.links
         tail_nodes = len(nodes) - n_static
         if tail_nodes > 0:
-            # tail rows live at link indices >= 8*n_static; build only them
-            tail = np.zeros((8 * tail_nodes, 8), f32)
+            # tail rows live at link indices >= 8*n_static; build only them.
+            # Padded to _NODE_BUCKET so the nl8 shape is frame-stable; pad
+            # rows are zero and unreachable (no link targets them).
+            tail_cap = self._bucket(tail_nodes, self._NODE_BUCKET)
+            tail = np.zeros((8 * tail_cap, 8), f32)
             tail_links = np.ascontiguousarray(
                 links[8 * n_static :], np.uint32
             ).view(f32)
@@ -382,10 +424,13 @@ class DevicePacker:
         else:
             nl8 = self._static_nl8
 
-        inst_f, inst_u = _instance_rows(scene.instances)
+        inst_f, inst_u = _instance_rows(
+            scene.instances,
+            pad_to=self._bucket(len(scene.instances), self._INST_BUCKET),
+        )
         sf_tlas, sf_cam, sf_light = _subframe_rows(scene.subframes)
         dev = jnp.asarray
-        return SceneDevice(
+        out = SceneDevice(
             nl8=nl8,
             tri_pos=self._tri_pos,
             tri_idx=self._tri_idx,
@@ -397,3 +442,29 @@ class DevicePacker:
             sf_cam=dev(sf_cam),
             sf_light=dev(sf_light),
         )
+        if self._wide_static is not None:
+            from pathtracing_tpu.accel.wide import END_TLAS, build_frame_tail
+
+            tail_rows, root_by_off = build_frame_tail(
+                self._wide_static, nodes, links, scene.instances,
+                scene.subframes,
+            )
+            cap = self._bucket(len(tail_rows), self._WIDE_BUCKET)
+            if len(tail_rows) < cap:
+                tail_rows = np.concatenate(
+                    [tail_rows, np.zeros((cap - len(tail_rows), tail_rows.shape[1]), f32)]
+                )
+            rcap = self._bucket(len(root_by_off), self._ROOT_BUCKET)
+            if len(root_by_off) < rcap:
+                pad = np.full(
+                    (rcap - len(root_by_off), 8), END_TLAS, np.uint32
+                ).view(np.int32)
+                root_by_off = np.concatenate([root_by_off, pad])
+            out = out._replace(
+                wide_rows=jnp.concatenate(
+                    [self._wide_static_dev, jnp.asarray(tail_rows)]
+                ),
+                wide_root=jnp.asarray(root_by_off),
+                tri_shade=self._tri_shade,
+            )
+        return out

@@ -29,7 +29,7 @@ from typing import Any
 
 KNOBS = (
     "leaf_every", "compact_div", "mid_entry", "unroll", "tile_pixels",
-    "mk_lanes", "mk_leaf_every",
+    "mk_lanes", "mk_leaf_every", "mk_service_div", "wide_layout",
 )
 
 # Builtin fallbacks. CPU rows measured (BENCH_NOTES.md); any unknown
@@ -44,6 +44,8 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "tile_pixels": 1 << 15,  # cache-bound optimum (BENCH_NOTES)
             "mk_lanes": 1 << 13,
             "mk_leaf_every": 4,
+            "mk_service_div": 8,
+            "wide_layout": "w8",
         },
         "large": {
             "leaf_every": 16,
@@ -53,6 +55,8 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "tile_pixels": 1 << 15,
             "mk_lanes": 1 << 13,
             "mk_leaf_every": 4,
+            "mk_service_div": 8,
+            "wide_layout": "w8",
         },
     },
     # TPU rows are PRIORS from the offline v5e model (tools/step_cost.py:
@@ -80,6 +84,8 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             # to average horizon/sky work AND shrink the drain tail.
             "mk_lanes": 1 << 13,
             "mk_leaf_every": 4,
+            "mk_service_div": 8,
+            "wide_layout": "w8",
         },
         "large": {
             "leaf_every": 16,
@@ -89,6 +95,8 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "tile_pixels": 1 << 17,
             "mk_lanes": 1 << 13,
             "mk_leaf_every": 4,
+            "mk_service_div": 8,
+            "wide_layout": "w8",
         },
     },
 }

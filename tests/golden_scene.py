@@ -70,7 +70,8 @@ def light_from_golden(g) -> DirectionalLight:
 
 
 def scene_device_from_golden(
-    g, config=TESTING, wide: bool = False, leaf_bundle: int = 8
+    g, config=TESTING, wide: bool = False, leaf_bundle: int | None = 8,
+    wide_layout="w8",
 ) -> SceneDevice:
     instances = [
         _GoldenInstance(g["instances_u"][i], g["instances_f"][i])
@@ -89,7 +90,7 @@ def scene_device_from_golden(
     )
     return pack_scene(
         mesh_arrays, g["nodes"], g["links"], instances, subframes,
-        wide=wide, leaf_bundle=leaf_bundle,
+        wide=wide, leaf_bundle=leaf_bundle, wide_layout=wide_layout,
     )
 
 

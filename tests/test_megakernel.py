@@ -63,3 +63,29 @@ def test_megakernel_sample_base_and_period():
              leaf_every=2)
     _compare(scene_bin, scene_wide, n_pixels=512, lanes=128, spp=2, base=5,
              leaf_every=6)
+
+
+def test_megakernel_spp_chunking(monkeypatch):
+    """render_pixels chunks the sample range when the accumulator planes
+    would blow the memory budget (the production-config path: 1920x1080 @
+    1024 spp is ~25 GB unchunked). Chunked partial sums must reproduce the
+    single-dispatch result (sample-range seeding contract)."""
+    from pathtracing_tpu.render import render_pixels
+
+    g = load_golden(str(require_golden("scene.gold")))
+    scene_wide = scene_device_from_golden(g, wide=True)
+    W = TESTING.image_width
+    n = 2 * W
+    xs = np.arange(n, dtype=np.int32) % W
+    ys = np.arange(n, dtype=np.int32) // W
+
+    whole = render_pixels(TESTING, scene_wide, xs, ys, spp=4, megakernel=True)
+    # budget of ~1 item-plane forces spp chunks of 1
+    monkeypatch.setenv("PT_MK_ACC_MB", "0")
+    from pathtracing_tpu.render import _mk_spp_chunk
+
+    assert _mk_spp_chunk(n, 4) == 1
+    chunked = render_pixels(
+        TESTING, scene_wide, xs, ys, spp=4, megakernel=True
+    )
+    np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-7)

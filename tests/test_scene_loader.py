@@ -113,11 +113,17 @@ def test_device_packer_matches_pack_scene(scene):
         scene.subframes,
     )
     for name in a._fields:
-        av, bv = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
-        if name in ("tri_pos", "tri_idx", "nl8"):
-            # packer covers ALL meshes / BLASes; pack_scene only instanced
-            # ones — every row pack_scene filled must match
+        fa, fb = getattr(a, name), getattr(b, name)
+        if fa is None and fb is None:
+            continue
+        av, bv = np.asarray(fa), np.asarray(fb)
+        if name in ("tri_pos", "tri_idx", "nl8", "inst_f", "inst_u"):
+            # packer covers ALL meshes / BLASes and pads tails/instances to
+            # shape-stable buckets; pack_scene only fills instanced rows —
+            # every row pack_scene filled must match, pad rows must be zero
             mask = np.any(bv != 0, axis=tuple(range(1, bv.ndim))) if bv.ndim > 1 else bv != 0
             np.testing.assert_array_equal(av[: len(bv)][mask], bv[mask], err_msg=name)
+            if name in ("inst_f", "inst_u"):
+                assert not np.any(av[len(bv):]), f"{name}: nonzero pad rows"
         else:
             np.testing.assert_array_equal(av, bv, err_msg=name)

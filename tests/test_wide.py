@@ -20,12 +20,14 @@ from conftest import require_golden
 from golden_scene import scene_device_from_golden
 
 
-@pytest.fixture(scope="module")
-def setup():
+@pytest.fixture(scope="module", params=["w8", "w16"])
+def setup(request):
     scene_g = load_golden(str(require_golden("scene.gold")))
     rays_g = load_golden(str(require_golden("rays.gold")))
     scene_bin = scene_device_from_golden(scene_g)
-    scene_wide = scene_device_from_golden(scene_g, wide=True)
+    scene_wide = scene_device_from_golden(
+        scene_g, wide=True, leaf_bundle=None, wide_layout=request.param
+    )
     return scene_bin, scene_wide, rays_g, scene_g
 
 
