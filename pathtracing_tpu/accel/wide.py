@@ -439,15 +439,57 @@ class WideStaticRegion:
 
         if sys.getrecursionlimit() < 100000:
             sys.setrecursionlimit(100000)
-        b = WideBuilder(leaf_bundle=leaf_bundle, layout=layout)
         self.layout = layout
+        self.leaf_bundle = leaf_bundle
         nodes = np.asarray(bvh_nodes, f32)
         links_all = np.ascontiguousarray(bvh_links, u32)
         indices, pos = mesh_arrays[0], mesh_arrays[1]
 
         # (node_offset, node_count) -> (8,) per-octant root cursors
         self.blas_roots: dict = {}
-        self.leaf_bundle = leaf_bundle
+
+        if _use_native():
+            from pathtracing_tpu.accel.native import build_wide_tree_native
+
+            bundle = (
+                2 * layout.leaf_tris if leaf_bundle is None else leaf_bundle
+            )
+            parts = []
+            row_cursor = 0
+            ok = True
+            for mesh, blas in mesh_blas_pairs:
+                key = (blas.node_offset, blas.node_count)
+                if key in self.blas_roots or blas.node_count == 0:
+                    continue
+                tri = indices[
+                    mesh.index_offset : mesh.index_offset
+                    + 3 * mesh.triangle_count
+                ].reshape(-1, 3).astype(np.int64) + mesh.base_vertex_offset
+                tri9 = pos[tri].reshape(-1, 9).astype(f32)
+                res = build_wide_tree_native(
+                    links_all[8 * blas.node_offset :
+                              8 * blas.node_offset + 8 * blas.node_count],
+                    nodes[blas.node_offset :
+                          blas.node_offset + blas.node_count],
+                    tri9, None, bundle, layout.n_slots, layout.leaf_tris,
+                    row_cursor, int(END_BLAS),
+                )
+                if res is None:
+                    ok = False
+                    break
+                rows, root8 = res
+                parts.append(rows)
+                self.blas_roots[key] = root8
+                row_cursor += len(rows)
+            if ok:
+                self.rows = (
+                    np.concatenate(parts)
+                    if parts else np.zeros((1, layout.w_row), f32)
+                )
+                return
+            self.blas_roots = {}
+
+        b = WideBuilder(leaf_bundle=leaf_bundle, layout=layout)
         leaf_cache: dict = {}
 
         def mesh_leaf_chain(mesh, prims):
@@ -487,25 +529,99 @@ class WideStaticRegion:
         self.rows = b.finalize()     # (S, 48) f32
 
 
+def _use_native() -> bool:
+    import os
+
+    return os.environ.get("PT_NATIVE_WIDE", "1") == "1"
+
+
+def _inst_rows_np(lay: WideLayout, instances, blas_roots, base: int):
+    """Vectorized instance-row block (rows [base, base+I)) + their
+    KIND_INST cursors; byte-identical to WideBuilder.build_inst_row."""
+    I = len(instances)
+    rows = np.zeros((I, lay.w_row), f32)
+    if I:
+        inv = np.stack([np.asarray(i.inv_transform, f32) for i in instances])
+        rows[:, 0:12] = inv[:, :, 0:3].reshape(I, 12)
+        roots = np.stack(
+            [blas_roots[(i.blas.node_offset, i.blas.node_count)]
+             for i in instances]
+        ).astype(u32)
+        rows[:, 12:20] = roots.view(f32)
+        rows[:, 20] = np.arange(I, dtype=np.int32).view(f32)
+    cursors = (
+        (u32(KIND_INST) << 30)
+        | ((base + np.arange(I, dtype=np.int64)).astype(u32) << lay.slot_bits)
+    ).astype(u32)
+    return rows, cursors
+
+
 def build_frame_tail(
     static: WideStaticRegion,
     bvh_nodes: np.ndarray,
     bvh_links: np.ndarray,
     instances,
     subframes,
+    root_base: int = 0,
 ):
     """Per-frame mega-table tail: instance rows + subframe TLAS wide trees.
 
     Tail cursors are absolute into [static.rows; tail], so the device-side
-    table is their plain concatenation. Returns (tail (K, 48) f32 — possibly
-    K=0 — and root_by_off (max_tlas_offset+1, 8) int32).
+    table is their plain concatenation. Returns (tail (K, w_row) f32 —
+    possibly K=0 — and root_by_off ((max_tlas_offset - root_base + 1), 8)
+    int32, indexed by ``tlas_offset - root_base``; DevicePacker passes the
+    static node count so the table covers only the frame's TLAS tail).
     """
     lay = static.layout
-    b = WideBuilder(
-        leaf_bundle=static.leaf_bundle, base=len(static.rows), layout=lay
-    )
     nodes = np.asarray(bvh_nodes, f32)
     links_all = np.ascontiguousarray(bvh_links, u32)
+    base = len(static.rows)
+
+    tlas_keys = []
+    max_off = root_base
+    seen = set()
+    for sf in subframes:
+        tl = sf.tlas
+        max_off = max(max_off, tl.node_offset)
+        key = (tl.node_offset, tl.node_count)
+        if key not in seen and tl.node_count > 0:
+            seen.add(key)
+            tlas_keys.append(key)
+
+    root_by_off = np.full((max_off - root_base + 1, 8), END_TLAS, u32)
+
+    if _use_native():
+        from pathtracing_tpu.accel.native import build_wide_tree_native
+
+        inst_block, inst_cursors = _inst_rows_np(
+            lay, instances, static.blas_roots, base
+        )
+        parts = [inst_block]
+        row_cursor = base + len(instances)
+        ok = True
+        for off, cnt in tlas_keys:
+            res = build_wide_tree_native(
+                links_all[8 * off : 8 * off + 8 * cnt],
+                nodes[off : off + cnt],
+                None, inst_cursors, 0, lay.n_slots, lay.leaf_tris,
+                row_cursor, int(END_TLAS),
+            )
+            if res is None:
+                ok = False
+                break
+            rows, root8 = res
+            parts.append(rows)
+            root_by_off[off - root_base] = root8
+            row_cursor += len(rows)
+        if ok:
+            tail = (
+                np.concatenate(parts)
+                if parts else np.zeros((0, lay.w_row), f32)
+            )
+            return tail, root_by_off.view(np.int32)
+        root_by_off[:] = END_TLAS
+
+    b = WideBuilder(leaf_bundle=static.leaf_bundle, base=base, layout=lay)
 
     inst_rows = []
     for inst_id, inst in enumerate(instances):
@@ -514,19 +630,12 @@ def build_frame_tail(
         inv12 = np.asarray(inst.inv_transform, f32)[:, 0:3].reshape(-1)
         inst_rows.append(b.build_inst_row(inv12, inst_id, list(roots)))
 
-    tlas_cache = {}
-    max_off = 0
-    for sf in subframes:
-        tl = sf.tlas
-        max_off = max(max_off, tl.node_offset)
-        key = (tl.node_offset, tl.node_count)
-        if key in tlas_cache or tl.node_count == 0:
-            continue
+    for off, cnt in tlas_keys:
         cursors = np.zeros(8, u32)
         for o in range(8):
-            lo = 8 * tl.node_offset + o * tl.node_count
-            links = links_all[lo : lo + tl.node_count]
-            n6 = nodes[tl.node_offset : tl.node_offset + tl.node_count]
+            lo = 8 * off + o * cnt
+            links = links_all[lo : lo + cnt]
+            n6 = nodes[off : off + cnt]
 
             def leaf_target(prims, group):
                 assert len(prims) == 1, "instance slots are not bundled"
@@ -538,11 +647,7 @@ def build_frame_tail(
             rid = b.build_wide_tree(links, n6, 0, leaf_target, END_TLAS)
             b.leaf_bundle = saved
             cursors[o] = lay.make_cursor(KIND_WIDE, rid)
-        tlas_cache[key] = cursors
-
-    root_by_off = np.full((max_off + 1, 8), END_TLAS, u32)
-    for (off, _cnt), cursors in tlas_cache.items():
-        root_by_off[off] = cursors
+        root_by_off[off - root_base] = cursors
 
     tail = b.finalize() if b.rows else np.zeros((0, lay.w_row), f32)
     return tail, root_by_off.view(np.int32)

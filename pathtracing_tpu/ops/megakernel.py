@@ -60,6 +60,7 @@ from pathtracing_tpu.ops.wide_traversal import (
     _wide_cheap_step,
     _wide_init,
     _wide_step,
+    root_cursor,
 )
 from pathtracing_tpu.accel.wide import END_TLAS
 from pathtracing_tpu.utils.vec import (
@@ -146,9 +147,7 @@ def _launch(scene, s: _MkState, mask, org: Vec3, d: Vec3, tmin, tmax0,
     R = s.bounce_i.shape
     t_inv = _safe_inv(d)
     oct_ = _octant(d)
-    root = jax.lax.bitcast_convert_type(
-        scene.wide_root[s.tlas_offset, oct_], jnp.uint32
-    )
+    root = root_cursor(scene, s.tlas_offset, oct_)
     fresh = _wide_init(
         R, mask, jnp.broadcast_to(jnp.asarray(tmax0, jnp.float32), R), root
     )

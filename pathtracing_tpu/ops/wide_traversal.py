@@ -40,6 +40,19 @@ from pathtracing_tpu.accel.wide import (
 def _layout_of(scene):
     """Recover the (static) WideLayout from the mega table's row width."""
     return LAYOUTS_BY_WIDTH[scene.wide_rows.shape[1]]
+
+
+def root_cursor(scene, tlas_offset, oct_):
+    """Per-lane TLAS root cursor: wide_root is indexed by
+    tlas_offset - wide_root_base (base 0 for one-shot packs; the frame
+    packer ships a tail-only table)."""
+    idx = tlas_offset
+    base = getattr(scene, "wide_root_base", None)
+    if base is not None:
+        idx = idx - base
+    return jax.lax.bitcast_convert_type(
+        scene.wide_root[idx, oct_], jnp.uint32
+    )
 from pathtracing_tpu.ops.traversal import (
     RayHit,
     _finalize_hit,
@@ -559,9 +572,7 @@ def wide_ray_query(
         jnp.broadcast_to(jnp.asarray(tmax0, jnp.float32), R)
     )
     oct_ = _octant(d)
-    root = jax.lax.bitcast_convert_type(
-        scene.wide_root[tlas_offset, oct_], jnp.uint32
-    )
+    root = root_cursor(scene, tlas_offset, oct_)
     consts = make_consts(tlas_count, tlas_offset, org, d)
     state = _wide_init(R, active, tmax0, root)
     if compact_schedule is None:

@@ -48,8 +48,12 @@ class SceneDevice(NamedTuple):
     # uses ops/wide_traversal.py — one 192 B row gather per step instead of
     # the binary octant-link walk. Results are bit-identical (the wide tree
     # is a DFS-order-preserving collapse of the same binary tree).
-    wide_rows: Array | None = None   # (M, 48) f32 mega-table
-    wide_root: Array | None = None   # (max_tlas_offset+1, 8) int32 cursors
+    wide_rows: Array | None = None   # (M, W) f32 mega-table
+    wide_root: Array | None = None   # (K, 8) int32 per-octant root cursors,
+    #                                  indexed by tlas_offset - wide_root_base
+    wide_root_base: Array | None = None  # int32 scalar (None = 0): lets the
+    #                                  frame packer ship a root table covering
+    #                                  only the per-frame TLAS tail
     # Optional packed per-triangle shading rows (pack_tri_shade): one 192 B
     # gather replaces tri_idx + 3x vattr + tri_pos (5 gathers) in the
     # forward-only renderers (shade_hit packed=True). The scan/diff path
@@ -447,7 +451,7 @@ class DevicePacker:
 
             tail_rows, root_by_off = build_frame_tail(
                 self._wide_static, nodes, links, scene.instances,
-                scene.subframes,
+                scene.subframes, root_base=n_static,
             )
             cap = self._bucket(len(tail_rows), self._WIDE_BUCKET)
             if len(tail_rows) < cap:
@@ -465,6 +469,7 @@ class DevicePacker:
                     [self._wide_static_dev, jnp.asarray(tail_rows)]
                 ),
                 wide_root=jnp.asarray(root_by_off),
+                wide_root_base=jnp.int32(n_static),
                 tri_shade=self._tri_shade,
             )
         return out
