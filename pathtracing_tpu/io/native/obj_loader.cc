@@ -52,17 +52,40 @@ static char* read_file(const char* path, size_t* out_size)
     return data;
 }
 
-static std::string read_token(char*& str)
+// Directive iterator: walks the buffer one whitespace-delimited directive
+// line at a time and hands (directive, operand cursor) to the visitor.
+// The cursor stays NUL-terminated at buffer end only, so numeric runs via
+// strtof/strtol behave exactly like a single-pass parser on the same
+// bytes (mesh semantics golden-tested against io/obj.py and the oracle).
+template <typename Visit>
+static void for_each_directive(char* buf, Visit&& visit)
 {
-    while(isspace((unsigned char)*str)) ++str;
-    char* start = str;
-    while(*str && !isspace((unsigned char)*str)) ++str;
-    return std::string(start, str - start);
+    char* cur = buf;
+    while(*cur)
+    {
+        while(isspace((unsigned char)*cur)) ++cur;
+        char* tok = cur;
+        while(*cur && !isspace((unsigned char)*cur)) ++cur;
+        if(cur != tok)
+        {
+            std::string directive(tok, cur - tok);
+            visit(directive, cur);
+        }
+        while(*cur && *cur != '\n') ++cur;
+    }
 }
 
-static void skip_line(char*& str)
+static std::string next_word(char*& cur)
 {
-    while(*str && *str != '\n') ++str;
+    while(isspace((unsigned char)*cur)) ++cur;
+    char* tok = cur;
+    while(*cur && !isspace((unsigned char)*cur)) ++cur;
+    return std::string(tok, cur - tok);
+}
+
+static void read_floats(char*& cur, float* out, int count)
+{
+    for(int i = 0; i < count; ++i) out[i] = strtof(cur, &cur);
 }
 
 static bool load_mtl(std::vector<Mtl>& materials, const char* path)
@@ -70,50 +93,23 @@ static bool load_mtl(std::vector<Mtl>& materials, const char* path)
     size_t sz;
     char* data = read_file(path, &sz);
     if(!data) return false;
-    char* str = data;
     Mtl* mat = nullptr;
-    while(*str)
-    {
-        while(isspace((unsigned char)*str)) ++str;
-        char* cmd = str;
-        int cmd_len = 0;
-        while(*str && !isspace((unsigned char)*str)) { ++str; ++cmd_len; }
-        auto is = [&](const char* name) {
-            return strncmp(cmd, name, cmd_len) == 0 && (int)strlen(name) == cmd_len;
-        };
-        if(is("newmtl"))
+    for_each_directive(data, [&](const std::string& d, char*& cur) {
+        if(d == "newmtl")
         {
             materials.push_back(Mtl{});
-            materials.back().name = read_token(str);
+            materials.back().name = next_word(cur);
             mat = &materials.back();
+            return;
         }
-        else if(!mat) {}
-        else if(is("Kd"))
-        {
-            mat->albedo[0] = strtof(str, &str);
-            mat->albedo[1] = strtof(str, &str);
-            mat->albedo[2] = strtof(str, &str);
-        }
-        else if(is("Ke"))
-        {
-            mat->emission[0] = strtof(str, &str);
-            mat->emission[1] = strtof(str, &str);
-            mat->emission[2] = strtof(str, &str);
-        }
-        else if(is("d"))
-            mat->alpha = strtof(str, &str);
-        else if(is("Pr"))
-            mat->roughness = strtof(str, &str);
-        else if(is("Pm"))
-            mat->metallic = strtof(str, &str);
-        else if(is("Tf"))
-        {
-            mat->transmission[0] = strtof(str, &str);
-            mat->transmission[1] = strtof(str, &str);
-            mat->transmission[2] = strtof(str, &str);
-        }
-        skip_line(str);
-    }
+        if(!mat) return;
+        if(d == "Kd") read_floats(cur, mat->albedo, 3);
+        else if(d == "Ke") read_floats(cur, mat->emission, 3);
+        else if(d == "d") read_floats(cur, &mat->alpha, 1);
+        else if(d == "Pr") read_floats(cur, &mat->roughness, 1);
+        else if(d == "Pm") read_floats(cur, &mat->metallic, 1);
+        else if(d == "Tf") read_floats(cur, mat->transmission, 3);
+    });
     free(data);
     return true;
 }
@@ -184,67 +180,50 @@ int pt_load_obj(const char* obj_path, pt_mesh_out* out)
     std::vector<Key> face_groups;
 
     int active_material = 0;
-    char* str = data;
-    while(*str)
-    {
-        while(isspace((unsigned char)*str)) ++str;
-        char* cmd = str;
-        int cmd_len = 0;
-        while(*str && !isspace((unsigned char)*str)) { ++str; ++cmd_len; }
-        auto is = [&](const char* name) {
-            return strncmp(cmd, name, cmd_len) == 0 && (int)strlen(name) == cmd_len;
-        };
-        if(cmd_len == 0) break;
-        if(is("v"))
+    // one "p[/t[/n]]" corner of an 'f' directive (triangles only,
+    // reference contract: mesh.hh:46-48)
+    auto face_corner = [&](char*& cur) {
+        Key k;
+        k.m = active_material;
+        k.p = (int)strtol(cur, &cur, 0) - 1;
+        if(*cur == '/') ++cur;
+        k.t = (int)strtol(cur, &cur, 0) - 1;
+        if(*cur == '/') ++cur;
+        k.n = (int)strtol(cur, &cur, 0) - 1;
+        face_groups.push_back(k);
+    };
+    for_each_directive(data, [&](const std::string& d, char*& cur) {
+        if(d == "v")
         {
-            positions.push_back(strtof(str, &str));
-            positions.push_back(strtof(str, &str));
-            positions.push_back(strtof(str, &str));
+            float p[3];
+            read_floats(cur, p, 3);
+            positions.insert(positions.end(), p, p + 3);
         }
-        else if(is("vn"))
+        else if(d == "vn")
         {
-            float x = strtof(str, &str);
-            float y = strtof(str, &str);
-            float z = strtof(str, &str);
+            float n[3];
+            read_floats(cur, n, 3);
             // normalize with the reference's op order (math.hh:94,106,110)
-            float len = sqrtf(x * x + y * y + z * z);
-            normals.push_back(x / len);
-            normals.push_back(y / len);
-            normals.push_back(z / len);
+            float len = sqrtf(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+            for(float c : n) normals.push_back(c / len);
         }
-        else if(is("f"))
+        else if(d == "f")
         {
-            for(int i = 0; i < 3; ++i)
-            {
-                Key k;
-                k.m = active_material;
-                k.p = (int)strtol(str, &str, 0) - 1;
-                if(*str == '/') ++str;
-                k.t = (int)strtol(str, &str, 0) - 1;
-                if(*str == '/') ++str;
-                k.n = (int)strtol(str, &str, 0) - 1;
-                face_groups.push_back(k);
-            }
+            for(int i = 0; i < 3; ++i) face_corner(cur);
         }
-        else if(is("usemtl"))
+        else if(d == "usemtl")
         {
-            std::string name = read_token(str);
+            std::string name = next_word(cur);
             for(size_t i = 0; i < materials.size(); ++i)
-            {
                 if(materials[i].name == name)
                 {
                     active_material = (int)i;
                     break;
                 }
-            }
         }
-        else if(is("mtllib"))
-        {
-            std::string name = read_token(str);
-            load_mtl(materials, (prefix + name).c_str());
-        }
-        skip_line(str);
-    }
+        else if(d == "mtllib")
+            load_mtl(materials, (prefix + next_word(cur)).c_str());
+    });
     free(data);
 
     // Bake per-material vertex attributes (reference: mesh.cc:234-253).

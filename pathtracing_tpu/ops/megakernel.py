@@ -21,8 +21,11 @@ cond-atmo — each lane's seed advances only on its own masked draws, so
 per-sample radiance matches the scan/wavefront renderers to
 kernel-fusion ulps (tests/test_megakernel.py).
 
-Area-light NEE scenes (scene.lt_tris) are not wired here yet: render.py
-falls back to the drain wavefront for them.
+Area-light NEE scenes (scene.lt_tris, ops/arealights.py) add one more
+phase to the lane's ray chain: shade -> sun shadow -> area shadow ->
+bounce, with the same extra rand4 draw and the same one-sample-MIS
+weights as the wavefront/scan integrators (tests/test_arealights.py
+covers megakernel == scan on the cornell scene).
 """
 
 from __future__ import annotations
@@ -79,6 +82,7 @@ f32 = np.float32
 _PH_PRIMARY = 0
 _PH_SHADOW = 1
 _PH_BOUNCE = 2
+_PH_SHADOW2 = 3   # area-light shadow ray (only when scene.lt_tris exist)
 
 DEFAULT_MK_LEAF_EVERY = 4
 
@@ -122,6 +126,9 @@ class _MkState(NamedTuple):
     # pending NEE context (prep -> shadow result -> finish)
     nee: Any               # NeeState
     occ_nee: Array
+    # pending area-light NEE context (None-like zeros when no lt tables)
+    area: Any              # arealights.AreaSample
+    occ_area: Array
     # queued bounce ray direction + bsdf sample record
     b_dir: Vec3
     b_atten: Vec3
@@ -143,7 +150,8 @@ def _consts(s: _MkState) -> _TravConsts:
 
 def _launch(scene, s: _MkState, mask, org: Vec3, d: Vec3, tmin, tmax0,
             phase):
-    """Reset the traversal for ``mask`` lanes onto a new ray."""
+    """Reset the traversal for ``mask`` lanes onto a new ray. ``tmax0`` may
+    be per-lane (area shadow rays stop at the sampled light point)."""
     R = s.bounce_i.shape
     t_inv = _safe_inv(d)
     oct_ = _octant(d)
@@ -162,7 +170,7 @@ def _launch(scene, s: _MkState, mask, org: Vec3, d: Vec3, tmin, tmax0,
 
 
 def _service(config: RenderConfig, scene, s: _MkState, spp,
-             sample_base, n_pixels):
+             sample_base, n_pixels, pixel_base=0):
     """Shade/chain/respawn for lanes whose ray has finished."""
     R = s.bounce_i.shape
     zero = jnp.zeros(R, jnp.float32)
@@ -170,14 +178,25 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     consts = _consts(s)
     trav = s.trav
 
+    use_lights = getattr(scene, "lt_tris", None) is not None
+    if use_lights:
+        from pathtracing_tpu.ops import arealights
+
     fin = trav.done & jnp.logical_not(s.lane_done)
     phase0 = s.phase
 
-    # ---- shadow completed: record occlusion (its queued bounce launches
-    # in the merged launch below) ----
-    sh_done = fin & (phase0 == _PH_SHADOW)
-    occ_nee = jnp.where(sh_done, trav.occluded, s.occ_nee)
-    s = s._replace(occ_nee=occ_nee)
+    # ---- shadow rays completed: record occlusion (the queued bounce — or
+    # the chained area shadow — launches in the merged launch below) ----
+    sh1_done = fin & (phase0 == _PH_SHADOW)
+    occ_nee = jnp.where(sh1_done, trav.occluded, s.occ_nee)
+    sh2_done = fin & (phase0 == _PH_SHADOW2)
+    occ_area = jnp.where(sh2_done, trav.occluded, s.occ_area)
+    s = s._replace(occ_nee=occ_nee, occ_area=occ_area)
+    # a finished sun shadow chains to the area shadow when one is pending
+    sh1_to_area = sh1_done & (
+        s.area.shadow_active if use_lights else jnp.zeros_like(sh1_done)
+    )
+    sh_done = (sh1_done & jnp.logical_not(sh1_to_area)) | sh2_done
     is_prim = fin & (phase0 == _PH_PRIMARY)
     is_bshade = fin & (phase0 == _PH_BOUNCE)
     shade_m = is_prim | is_bshade
@@ -210,6 +229,12 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
         is_bshade, config,
     )
     cur = s.cur + where3(is_bshade, atten0 * nee_color, v0)
+    if use_lights:
+        cur = cur + where3(
+            is_bshade,
+            atten0 * arealights.area_nee_color(s.area, s.occ_area, is_bshade),
+            v0,
+        )
 
     # ---- conditional atmosphere draw for the completed closest ray ----
     seed, atmo_att, in_scatter = atmosphere_scattering(
@@ -236,8 +261,24 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     inv_mis = jnp.where(jnp.isinf(mis_pdf), 0.0, 1.0 / mis_pdf)
     inv_abs_pdf = jnp.where(s.b_pdf == 0, jnp.inf, 1.0 / jnp.abs(pdf_safe))
     atten_b = atten0 * s.b_atten
+    emission_b = new_info.emission
+    if use_lights:
+        # light-sampling half of the MIS pair for BSDF-sampled emission
+        # hits (primary hits keep full weight via prim_term above)
+        pl = arealights.light_pdf_of_hit(
+            scene, hit.inst, hit.prim, s.ray_d, new_info.thit, hit.thit >= 0,
+        )
+        b2 = pdf_safe * pdf_safe
+        denom_w = b2 + pl * pl
+        emission_b = emission_b * jnp.where(
+            s.b_pdf < 0,
+            1.0,
+            jnp.where(
+                denom_w > 0, b2 / jnp.where(denom_w > 0, denom_w, 1.0), 1.0
+            ),
+        )
     bounce_term = (
-        atten_b * (in_scatter + atmo_att * new_info.albedo * new_info.emission)
+        atten_b * (in_scatter + atmo_att * new_info.albedo * emission_b)
         * inv_mis
     )
     cur = cur + where3(is_bshade, bounce_term, v0)
@@ -279,6 +320,11 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     )
     view = normalize3(view)
     seed, nee = nee_prepare(seed, s.light, info_now, view, path_live)
+    if use_lights:
+        seed, ua = rng.uniform4_masked(seed, path_live)
+        area = arealights.sample_area_light(
+            scene, ua, info_now, view, path_live
+        )
     seed, ub = rng.uniform4_masked(seed, path_live)
     sample = sample_bsdf(
         Vec3(ub.x, ub.y, ub.z), view, info_now.albedo, info_now.roughness,
@@ -312,7 +358,7 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     lane_done = s.lane_done | (item >= n_items)
     rs = died & jnp.logical_not(lane_done)
     item_c = jnp.minimum(item, n_items - 1)
-    pixel = item_c % n_pixels
+    pixel = pixel_base + item_c % n_pixels
     sample_i = item_c // n_pixels
     W_ = config.image_width
     xs = pixel % W_
@@ -363,20 +409,31 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
         light=light,
         lane_done=lane_done,
         nee=_sel(path_live, nee, s.nee),
+        area=_sel(path_live, area, s.area) if use_lights else s.area,
         b_dir=where3(path_live, b_dir, s.b_dir),
         b_atten=where3(path_live, sample.attenuation, s.b_atten),
         b_pdf=jnp.where(path_live, sample.pdf, s.b_pdf),
     )
 
-    # ---- ONE merged launch (masks are disjoint): sh_done lanes chain
-    # their queued bounce, path_live lanes start the next bounce's shadow
-    # ray (or skip straight to the bounce when NEE is black), rs lanes
+    # ---- ONE merged launch (masks are disjoint): finished shadows chain
+    # their queued area shadow / bounce, path_live lanes start the next
+    # bounce's sun shadow (or skip ahead when NEE is black), rs lanes
     # start the next sample's primary — one octant/root gather for all ----
     to_shadow = path_live & nee.shadow_active
-    to_bounce = (path_live & jnp.logical_not(nee.shadow_active)) | sh_done
-    mask = sh_done | path_live | rs
+    if use_lights:
+        to_area_new = path_live & jnp.logical_not(nee.shadow_active) & (
+            area.shadow_active
+        )
+        to_area = to_area_new | sh1_to_area
+        area_dir = where3(sh1_to_area, s.area.wi, area.wi)
+        area_dist = jnp.where(sh1_to_area, s.area.dist, area.dist)
+    else:
+        to_area = jnp.zeros_like(to_shadow)
+        area_dir = s.b_dir
+        area_dist = jnp.zeros_like(s.tmin)
+    mask = sh1_to_area | sh_done | path_live | rs
     l_org = where3(
-        rs, cam_o, where3(sh_done, s.info.pos, info_now.pos)
+        rs, cam_o, where3(sh1_to_area | sh_done, s.info.pos, info_now.pos)
     )
     l_dir = where3(
         rs,
@@ -384,15 +441,26 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
         where3(
             to_shadow,
             nee.light_dir,
-            where3(sh_done, s.b_dir, b_dir),
+            where3(
+                to_area, area_dir, where3(sh_done, s.b_dir, b_dir)
+            ),
         ),
     )
     l_tmin = jnp.where(rs, 0.0, jnp.float32(config.min_ray_dist))
+    l_tmax = jnp.where(
+        to_area, area_dist * (1.0 - 1e-3),
+        jnp.float32(config.max_ray_dist),
+    )
     l_phase = jnp.where(
-        rs, _PH_PRIMARY, jnp.where(to_shadow, _PH_SHADOW, _PH_BOUNCE)
+        rs,
+        _PH_PRIMARY,
+        jnp.where(
+            to_shadow, _PH_SHADOW,
+            jnp.where(to_area, _PH_SHADOW2, _PH_BOUNCE),
+        ),
     ).astype(jnp.int32)
     return _launch(
-        scene, s, mask, l_org, l_dir, l_tmin, config.max_ray_dist, l_phase
+        scene, s, mask, l_org, l_dir, l_tmin, l_tmax, l_phase
     )
 
 
@@ -405,14 +473,18 @@ def path_trace_megakernel(
     lanes: int = 32768,
     leaf_every: int = DEFAULT_MK_LEAF_EVERY,
     service_div: int | None = None,
+    pixel_base=0,
 ):
     """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
-    for pixels [0, n_pixels) of a config.image_width-wide frame, with
-    ``lanes`` persistent lanes over n_pixels*spp sample-major work items.
-    Returns a Vec3 of (n_pixels,) per-pixel sums.
+    for pixels [pixel_base, pixel_base + n_pixels) of a
+    config.image_width-wide row-major frame, with ``lanes`` persistent lanes
+    over n_pixels*spp sample-major work items. Returns a Vec3 of
+    (n_pixels,) per-pixel sums. ``pixel_base``/``sample_base`` may be
+    traced values — the sharded frame renderer passes per-device offsets
+    (parallel/sharding.make_sharded_render_megakernel).
 
-    Requires wide tables (scene.wide_rows); no area-light tables (render.py
-    falls back to the drain wavefront for those).
+    Requires wide tables (scene.wide_rows). Area-light tables (lt_*) are
+    supported: lanes chain shade -> sun shadow -> area shadow -> bounce.
     """
     assert getattr(scene, "wide_rows", None) is not None
     R = lanes
@@ -420,7 +492,7 @@ def path_trace_megakernel(
     n_chunks = -(-n_items // lanes)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
     item0 = jnp.minimum(lane, n_items - 1)
-    pixel0 = item0 % n_pixels
+    pixel0 = pixel_base + item0 % n_pixels
     xs = pixel0 % config.image_width
     ys = pixel0 // config.image_width
     i32 = lambda v: jnp.full(R, v, jnp.int32)
@@ -450,6 +522,16 @@ def path_trace_megakernel(
         black=jnp.zeros(R, bool),
         shadow_active=jnp.zeros(R, bool),
     )
+    from pathtracing_tpu.ops.arealights import AreaSample
+
+    area0 = AreaSample(
+        wi=Vec3(fz, fz, ones),
+        dist=fz,
+        weighted_pdf=fz,
+        radiance=v0,
+        bsdf=v0,
+        shadow_active=jnp.zeros(R, bool),
+    )
     state = _MkState(
         seed=rng.Seed(*(jnp.zeros(R, jnp.uint32) for _ in range(4))),
         bounce_i=i32(0),
@@ -477,6 +559,8 @@ def path_trace_megakernel(
         tmin=fz,
         nee=nee0,
         occ_nee=jnp.zeros(R, bool),
+        area=area0,
+        occ_area=jnp.zeros(R, bool),
         b_dir=Vec3(fz, fz, ones),
         b_atten=v0,
         b_pdf=fz,
@@ -538,7 +622,7 @@ def path_trace_megakernel(
             s = s._replace(
                 trav=_wide_cheap_step(scene, s.trav, consts, s.tmin)
             )
-        anyhit = s.phase == _PH_SHADOW
+        anyhit = (s.phase == _PH_SHADOW) | (s.phase == _PH_SHADOW2)
         s = s._replace(
             trav=_wide_step(scene, s.trav, consts, s.tmin, anyhit)
         )
@@ -549,7 +633,7 @@ def path_trace_megakernel(
         return jax.lax.cond(
             do_service,
             lambda st: _service(config, scene, st, spp, sample_base,
-                                n_pixels),
+                                n_pixels, pixel_base),
             lambda st: st,
             s,
         )

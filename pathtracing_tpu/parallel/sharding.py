@@ -88,6 +88,58 @@ def make_sharded_render(
     return jax.jit(shard_fn)
 
 
+def make_sharded_render_megakernel(
+    config: RenderConfig,
+    mesh: Mesh,
+    n_pixels: int,
+    spp: int,
+    lanes: int = 8192,
+    leaf_every: int = 4,
+    service_div: int | None = None,
+):
+    """Sharded persistent-lane megakernel (the TPU fast path, multi-chip):
+    jitted fn(scene) -> (r, g, b) per-pixel radiance sums for the row-major
+    pixels [0, n_pixels).
+
+    Decomposition mirrors make_sharded_render: the ``tiles`` axis owns
+    disjoint contiguous pixel blocks (each device runs its own megakernel
+    over its block via ``pixel_base`` — no communication), the ``samples``
+    axis owns disjoint sample ranges of the same block, psum-reduced. The
+    wide mega-table is replicated.
+    """
+    from pathtracing_tpu.ops.megakernel import path_trace_megakernel
+
+    n_tiles = mesh.shape["tiles"]
+    n_sample_shards = mesh.shape["samples"]
+    assert spp % n_sample_shards == 0, (spp, n_sample_shards)
+    assert n_pixels % n_tiles == 0, (n_pixels, n_tiles)
+    local_spp = spp // n_sample_shards
+    local_pixels = n_pixels // n_tiles
+
+    def local_render(scene):
+        tile = jax.lax.axis_index("tiles").astype(jnp.int32)
+        shard = jax.lax.axis_index("samples").astype(jnp.int32)
+        acc = path_trace_megakernel(
+            config, scene, local_pixels, local_spp,
+            sample_base=shard * local_spp,
+            lanes=lanes, leaf_every=leaf_every, service_div=service_div,
+            pixel_base=tile * local_pixels,
+        )
+        r = jax.lax.psum(acc.x, "samples")
+        g = jax.lax.psum(acc.y, "samples")
+        b = jax.lax.psum(acc.z, "samples")
+        return r, g, b
+
+    shard_fn = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P("tiles"),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
 def make_sharded_render_grad(
     config: RenderConfig,
     mesh: Mesh,

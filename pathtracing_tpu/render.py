@@ -51,10 +51,9 @@ def _render_frame_megakernel(
 
 def megakernel_supported(scene, xs, ys, width: int) -> bool:
     """The megakernel owns pixels [0, N) of a row-major frame and needs the
-    wide tables; area-light NEE scenes still route to the drain wavefront."""
+    wide tables (area-light NEE scenes included — ops/megakernel.py chains
+    the extra shadow phase)."""
     if getattr(scene, "wide_rows", None) is None:
-        return False
-    if getattr(scene, "lt_tris", None) is not None:
         return False
     n = len(xs)
     idx = np.arange(n, dtype=np.int64)

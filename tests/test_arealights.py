@@ -147,3 +147,57 @@ def test_wavefront_matches_scan_with_lights():
         np.abs(got[finite] - ref[finite]) <= 2e-4 + 2e-4 * np.abs(ref[finite])
     ).all(-1)
     assert close.mean() > 0.97, close.mean()
+
+
+def test_megakernel_matches_scan_with_lights():
+    """The persistent-lane megakernel chains the area shadow as an extra
+    phase (shade -> sun shadow -> area shadow -> bounce); per-pixel sums
+    must match the scan integrator to the same fusion-ulp gate."""
+    from pathtracing_tpu.ops.integrator import path_trace_samples
+    from pathtracing_tpu.ops.megakernel import path_trace_megakernel
+
+    from pathtracing_tpu.render import megakernel_supported
+
+    import tempfile, os
+    tmp = tempfile.mkdtemp(prefix="arealight_mk_")
+    _write_panel_scene(tmp)
+    from pathtracing_tpu.scene.builder import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_mesh("g", os.path.join(tmp, "g.obj"))
+    b.add_mesh("p", os.path.join(tmp, "p.obj"))
+    b.add_instance("g")
+    b.add_instance("p")
+    b.set_camera(position=(0, 2.0, 12.0), pitch_yaw_roll=(8, 0, 0), fov=50)
+    b.set_light(direction=(0, 1, 0), color=(0, 0, 0))
+    _, dev_wide = b.build(CFG, emissive_nee=True, wide=True)
+    assert dev_wide.wide_rows is not None and dev_wide.lt_tris is not None
+
+    n_pixels = 512  # pixels [0, 512) of row 0..1
+    xs = jnp.arange(n_pixels, dtype=jnp.int32) % CFG.image_width
+    ys = jnp.arange(n_pixels, dtype=jnp.int32) // CFG.image_width
+    spp = 4
+
+    acc = [jnp.zeros(n_pixels, jnp.float32) for _ in range(3)]
+    for j in range(spp):
+        si = jnp.full(n_pixels, j, jnp.int32)
+        c = path_trace_samples(CFG, dev_wide, xs, ys, si)
+        acc = [acc[0] + c.x, acc[1] + c.y, acc[2] + c.z]
+    ref = np.stack([np.asarray(a) for a in acc], -1)
+
+    mk = path_trace_megakernel(
+        CFG, dev_wide, n_pixels, spp, 0, lanes=256, leaf_every=4
+    )
+    got = np.stack(
+        [np.asarray(mk.x), np.asarray(mk.y), np.asarray(mk.z)], -1
+    )[:n_pixels]
+
+    assert megakernel_supported(
+        dev_wide, np.asarray(xs), np.asarray(ys), CFG.image_width
+    )
+    finite = np.isfinite(ref).all(-1)
+    assert finite.mean() > 0.99
+    close = (
+        np.abs(got[finite] - ref[finite]) <= 2e-4 + 2e-4 * np.abs(ref[finite])
+    ).all(-1)
+    assert close.mean() > 0.97, close.mean()

@@ -116,3 +116,47 @@ def test_sharded_grad_matches_single_device(scene, tiles, samples, remat):
         np.testing.assert_allclose(
             got, ref_grads[k], rtol=2e-4, atol=1e-6, err_msg=k
         )
+
+
+def test_sharded_megakernel_matches_scan():
+    """The fast path under shard_map: pixel blocks over ``tiles`` (per-device
+    megakernel with pixel_base), sample ranges over ``samples`` (psum) must
+    reproduce the scan integrator's sums (VERDICT r2 #6: multi-device
+    coverage for the wide/megakernel path)."""
+    import jax.numpy as jnp
+    from pathtracing_tpu.ops.integrator import path_trace_samples
+    from pathtracing_tpu.parallel.sharding import (
+        make_mesh,
+        make_sharded_render_megakernel,
+    )
+    from golden_scene import scene_device_from_golden
+    from pathtracing_tpu.utils.goldenio import load_golden
+    from conftest import require_golden
+
+    scene = scene_device_from_golden(
+        load_golden(str(require_golden("scene.gold"))), wide=True
+    )
+    mesh = make_mesh(2, 2)
+    n_pixels, spp = 256, 4
+    xs = jnp.arange(n_pixels, dtype=jnp.int32) % TESTING.image_width
+    ys = jnp.arange(n_pixels, dtype=jnp.int32) // TESTING.image_width
+
+    acc = [jnp.zeros(n_pixels, jnp.float32) for _ in range(3)]
+    for j in range(spp):
+        si = jnp.full(n_pixels, j, jnp.int32)
+        c = path_trace_samples(TESTING, scene, xs, ys, si)
+        acc = [acc[0] + c.x, acc[1] + c.y, acc[2] + c.z]
+    ref = np.stack([np.asarray(a) for a in acc], -1)
+
+    fn = make_sharded_render_megakernel(
+        TESTING, mesh, n_pixels, spp, lanes=128
+    )
+    r, g, b = fn(scene)
+    got = np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1)
+
+    finite = np.isfinite(ref).all(-1)
+    assert finite.mean() > 0.99
+    close = (
+        np.abs(got[finite] - ref[finite]) <= 2e-4 + 2e-4 * np.abs(ref[finite])
+    ).all(-1)
+    assert close.mean() > 0.97, close.mean()

@@ -115,7 +115,8 @@ def bench_builder_scene(name, meshes, instances, camera, scale, wavefront,
     b.set_camera(**camera)
     b.set_light(direction=(0.3, 1, 0.6), color=(4, 4, 4))
     t0 = time.perf_counter()
-    scene, dev = b.build(config)
+    # wide=None: attach the mega-table (megakernel fast path) on TPU
+    scene, dev = b.build(config, wide=None)
     build_s = time.perf_counter() - t0
     dt, compile_s = _time_frame(config, dev, wavefront)
     ms = w * h * spp / dt / 1e6
@@ -150,7 +151,9 @@ def bench_full_anim(scale, frames, wavefront, json_path):
     t0 = time.perf_counter()
     host = load_scene(config=config)
     load_s = time.perf_counter() - t0
-    packer = DevicePacker(host)
+    t0 = time.perf_counter()
+    packer = DevicePacker(host, wide=jax.default_backend() == "tpu")
+    wide_build_s = time.perf_counter() - t0
     total_px = 0.0
     total_s = 0.0
     setup_s = 0.0
@@ -176,8 +179,9 @@ def bench_full_anim(scale, frames, wavefront, json_path):
         "device": jax.default_backend(),
         "width": config.image_width, "height": config.image_height,
         "spp": spp, "frames_timed": max(frames - 1, 0),
-        "load_s": round(load_s, 1), "setup_s_per_frame":
-        round(setup_s / max(frames, 1), 2),
+        "load_s": round(load_s, 1), "wide_build_s": round(wide_build_s, 1),
+        "setup_s_per_frame": round(setup_s / max(frames, 1), 2),
+        "megakernel": packer._wide_static is not None,
     }, json_path)
 
 
