@@ -92,17 +92,20 @@ def _sel(mask, new, old):
 
 
 class _MkState(NamedTuple):
-    # Interleaved static WORK-ITEM ownership: one item = one
-    # (pixel, sample) pair, sample-major (item = sample*n_pixels + pixel),
-    # and lane L runs items L, L+R, L+2R, ... ("chunks"). Each lane's
-    # total work is an average over ~n_pixels*spp/R independent items, so
-    # per-pixel cost variance washes out spp times harder than pixel-major
-    # chunks did (which left a 75.7% idle tail — tools/mk_stats.py) — load
-    # balance without a work queue or scatter ops. Completed item sums
-    # flow into the carried (n_chunks, R) planes, whose flat layout IS
-    # item order; the caller folds samples with reshape(spp, n_pixels).
-    chunk: Array           # (R,) int32: which of the lane's items is live
-    acc_r: Array           # (n_chunks, R) f32 per-item radiance sums
+    # DYNAMIC work queue: one item = one (pixel, sample) pair, sample-major
+    # (item = sample*n_pixels + pixel). Lane L boots on item L; when an
+    # item dies, the lane takes the next unassigned item off a shared
+    # counter — its grant rank is a cumsum over this service's deaths, so
+    # the queue needs no atomics and stays deterministic. This removes the
+    # ramp-down tail the static interleave left (24% of lane-steps idle in
+    # lane_done at 8192 lanes / spp 8 — tools/mk_stats.py): with a queue
+    # the tail is bounded by the single longest item. Completed item sums
+    # scatter-add into per-PIXEL planes (mode=drop), so accumulator memory
+    # is O(n_pixels) — the production config (1920x1080 @ 1024 spp) carries
+    # 25 MB instead of the 25 GB the per-item planes needed.
+    item: Array            # (R,) int32: the lane's live work item
+    next_item: Array       # () int32: first unassigned item (shared queue)
+    acc_r: Array           # (n_pixels,) f32 per-pixel radiance sums
     acc_g: Array
     acc_b: Array
     # path state (mirrors ops/wavefront._WfState)
@@ -332,29 +335,26 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     )
     b_dir = normalize3(info_now.tbn.mul_vec(sample.direction))
 
-    # ---- death: fold the sample; advance to the lane's next work item ----
-    R_lanes = s.bounce_i.shape[0]
-    n_chunks = s.acc_r.shape[0]
+    # ---- death: fold the sample; take the next item off the queue ----
     n_items = n_pixels * spp
-    # flush the dead item's radiance into the carried (n_chunks, R) planes
-    # via a broadcast one-hot row mask — no scatter ops
-    cmask = (
-        jax.lax.broadcasted_iota(jnp.int32, (n_chunks, R_lanes), 0)
-        == s.chunk[None, :]
-    ) & died[None, :]
-    acc_r = s.acc_r + jnp.where(cmask, cur.x[None, :], 0.0)
-    acc_g = s.acc_g + jnp.where(cmask, cur.y[None, :], 0.0)
-    acc_b = s.acc_b + jnp.where(cmask, cur.z[None, :], 0.0)
+    # scatter-add the dead item's radiance into the per-pixel planes;
+    # non-dying lanes target index n_pixels, which mode="drop" discards
+    dead_pix = jnp.where(died, s.item % n_pixels, n_pixels)
+    acc_r = s.acc_r.at[dead_pix].add(cur.x, mode="drop")
+    acc_g = s.acc_g.at[dead_pix].add(cur.y, mode="drop")
+    acc_b = s.acc_b.at[dead_pix].add(cur.z, mode="drop")
     cur = where3(died, v0, cur)
-    chunk = s.chunk + died.astype(jnp.int32)
 
-    # lane's (possibly new) work item: one (pixel, sample) pair,
-    # sample-major so the items of one pixel land on spp different lanes
-    # and each lane's ~n_items/R items sample the whole frame. Lanes whose
-    # next item falls past n_items (the trimmed tail of the last chunk)
-    # retire instead of rendering garbage.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R_lanes, 1), 0)[:, 0]
-    item = chunk * R_lanes + lane
+    # shared work queue: each dying lane is granted item
+    # next_item + (its rank among this service's deaths) — a cumsum, no
+    # atomics, fully deterministic. Items are sample-major so concurrent
+    # lanes spread across the whole frame; lanes granted past n_items
+    # retire. The queue bounds the ramp-down tail by ONE item's length
+    # (the static per-lane interleave left a ~24% lane_done tail).
+    died_i = died.astype(jnp.int32)
+    rank = jnp.cumsum(died_i) - died_i
+    item = jnp.where(died, s.next_item + rank, s.item)
+    next_item = s.next_item + jnp.sum(died_i)
     lane_done = s.lane_done | (item >= n_items)
     rs = died & jnp.logical_not(lane_done)
     item_c = jnp.minimum(item, n_items - 1)
@@ -400,7 +400,8 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
         attenuation=attenuation,
         regularization=regularization,
         cur=cur,
-        chunk=chunk,
+        item=item,
+        next_item=next_item,
         acc_r=acc_r,
         acc_g=acc_g,
         acc_b=acc_b,
@@ -540,10 +541,11 @@ def path_trace_megakernel(
         attenuation=v0,
         regularization=ones,
         cur=v0,
-        chunk=i32(0),
-        acc_r=jnp.zeros((n_chunks, R), jnp.float32),
-        acc_g=jnp.zeros((n_chunks, R), jnp.float32),
-        acc_b=jnp.zeros((n_chunks, R), jnp.float32),
+        item=item0,
+        next_item=jnp.int32(R),
+        acc_r=jnp.zeros(n_pixels, jnp.float32),
+        acc_g=jnp.zeros(n_pixels, jnp.float32),
+        acc_b=jnp.zeros(n_pixels, jnp.float32),
         tlas_count=i32(1),
         tlas_offset=i32(0),
         light=LightParams(
@@ -639,10 +641,9 @@ def path_trace_megakernel(
         )
 
     final = jax.lax.while_loop(cond, body, state)
-    # fold samples: the flat accumulator is item order (sample-major), so
-    # per-pixel sums are one reshape + axis-0 reduce
-    fold = lambda a: a.reshape(-1)[:n_items].reshape(spp, n_pixels).sum(0)
-    return Vec3(fold(final.acc_r), fold(final.acc_g), fold(final.acc_b))
+    # the accumulator planes are already per-pixel sums (folded on the fly
+    # by the death-time scatter-add)
+    return Vec3(final.acc_r, final.acc_g, final.acc_b)
 
 
 # Service fires when due lanes are at least 1/SERVICE_DIV of the live set.

@@ -35,6 +35,17 @@ from pathtracing_tpu.accel.wide import (
     LAYOUTS_BY_WIDTH,
     RETURN_SENTINEL,
 )
+from pathtracing_tpu.ops.traversal import (
+    RayHit,
+    _finalize_hit,
+    _partition_not_done,
+    _safe_inv,
+    _octant,
+    _tri_preprocess,
+    _tri_intersect,
+    make_consts,
+)
+from pathtracing_tpu.utils.vec import Vec3, where3
 
 
 def _layout_of(scene):
@@ -53,17 +64,6 @@ def root_cursor(scene, tlas_offset, oct_):
     return jax.lax.bitcast_convert_type(
         scene.wide_root[idx, oct_], jnp.uint32
     )
-from pathtracing_tpu.ops.traversal import (
-    RayHit,
-    _finalize_hit,
-    _partition_not_done,
-    _safe_inv,
-    _octant,
-    _tri_preprocess,
-    _tri_intersect,
-    make_consts,
-)
-from pathtracing_tpu.utils.vec import Vec3, where3
 
 Array = Any
 
@@ -106,14 +106,17 @@ _EMPTY = np.uint32(0xFFFFFFFF)
 
 
 def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
-    """Two-speed fast gear: gather + 8-slot slab + advance ONLY (~250 VPU
-    ops vs ~2000 for the full step, which is VPU-bound — see BENCH_NOTES).
+    """Two-speed fast gear: gather + S-slot slab + advance + BLAS entry.
 
     LEAF rows park in the one-deep pending slot and are skipped over using
     their inline next-link (tmax shrinking is deferred = conservative, so
     results stay bit-identical exactly as in the binary two-speed loop,
-    ops/traversal.py); a second LEAF while one is parked, and INST rows,
-    freeze the lane until the next full step.
+    ops/traversal.py); a second LEAF while one is parked freezes the lane
+    until the next full step. INST rows descend right here (round-3:
+    freezing them cost ~K/2 wasted gathers per TLAS->BLAS entry — ~20% of
+    traversing lane-steps on the golden scene, tools/mk_stats.py); the
+    descent has no confirms, so executing it in the fast gear cannot
+    reorder the candidate sequence and results stay bit-identical.
     """
     R = s.cursor.shape
     u32c = lambda v: jnp.full(R, np.uint32(v), jnp.uint32)
@@ -134,6 +137,7 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
 
     is_wide = valid & (kind == 0)
     is_leaf = valid & (kind == 1)
+    is_inst = valid & (kind == 2)
 
     org = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), consts.org)
     inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), consts.t_inv)
@@ -182,10 +186,40 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     nxt = rbits[:, lay.next_col]
     leaf_next = jnp.where(nxt == u32c(RETURN_SENTINEL), s.leaf_resume, nxt)
 
+    # INST rows: enter the BLAS (same math as the full step's block).
+    # NOT while a leaf row is parked: its deferred flush must run with the
+    # b_* ray of ITS OWN BLAS, so a lane with a parked leaf freezes at the
+    # INST row until the next full step flushes the park (the full step
+    # flushes and descends in the same step, using the pre-update b_*).
+    do_inst = is_inst & (s.p_leaf == u32c(_EMPTY))
+    fo = row[:, 0:12]
+    co, cd = consts.org, consts.d
+    bo = Vec3(
+        fo[:, 0] * co.x + fo[:, 3] * co.y + fo[:, 6] * co.z + fo[:, 9],
+        fo[:, 1] * co.x + fo[:, 4] * co.y + fo[:, 7] * co.z + fo[:, 10],
+        fo[:, 2] * co.x + fo[:, 5] * co.y + fo[:, 8] * co.z + fo[:, 11],
+    )
+    bd = Vec3(
+        fo[:, 0] * cd.x + fo[:, 3] * cd.y + fo[:, 6] * cd.z,
+        fo[:, 1] * cd.x + fo[:, 4] * cd.y + fo[:, 7] * cd.z,
+        fo[:, 2] * cd.x + fo[:, 5] * cd.y + fo[:, 8] * cd.z,
+    )
+    binv = _safe_inv(bd)
+    boct = _octant(bd)
+    baxis, bS = _tri_preprocess(bd)
+    entry_cols = rbits[:, 12:20]
+    oct8 = jnp.arange(8, dtype=jnp.int32)[None, :]
+    blas_entry = jnp.max(
+        jnp.where(oct8 == boct[:, None], entry_cols, 0), axis=1
+    )
+    inst_id = jax.lax.bitcast_convert_type(row[:, 20], jnp.int32)
+
     descend_inst = found & (tkind == 2)
     descend_leaf = found & (tkind == 1)
     cursor = jnp.where(
-        is_wide, wide_next, jnp.where(can_park, leaf_next, cur)
+        is_wide,
+        wide_next,
+        jnp.where(do_inst, blas_entry, jnp.where(can_park, leaf_next, cur)),
     )
     cursor = jnp.where(done, s.cursor, cursor)
 
@@ -195,7 +229,18 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
         p_leaf=jnp.where(can_park, cur, s.p_leaf),
         inst_resume=upd(s.inst_resume, resume, descend_inst),
         leaf_resume=upd(s.leaf_resume, resume, descend_leaf),
-        in_blas=in_blas,
+        in_blas=in_blas | do_inst,
+        b_org_x=upd(s.b_org_x, bo.x, do_inst),
+        b_org_y=upd(s.b_org_y, bo.y, do_inst),
+        b_org_z=upd(s.b_org_z, bo.z, do_inst),
+        b_inv_x=upd(s.b_inv_x, binv.x, do_inst),
+        b_inv_y=upd(s.b_inv_y, binv.y, do_inst),
+        b_inv_z=upd(s.b_inv_z, binv.z, do_inst),
+        b_S_x=upd(s.b_S_x, bS.x, do_inst),
+        b_S_y=upd(s.b_S_y, bS.y, do_inst),
+        b_S_z=upd(s.b_S_z, bS.z, do_inst),
+        b_axis=upd(s.b_axis, baxis, do_inst),
+        cand_inst=upd(s.cand_inst, inst_id, do_inst),
         done=done,
     )
 

@@ -69,15 +69,17 @@ DEFAULT_MK_LANES: int | None = None
 DEFAULT_MK_LEAF: int | None = None
 DEFAULT_MK_SERVICE: int | None = None
 
-# Megakernel accumulator budget (MB): the per-item radiance planes cost
-# n_pixels x spp_chunk x 12 B, so big frames render as several sample-range
-# dispatches. 512 MB keeps the production frame (1920x1080) at 20 spp+ per
-# dispatch while leaving HBM for the scene tables.
-DEFAULT_MK_ACC_MB = 512
+# Megakernel dispatch budget (MB). The accumulator is per-PIXEL (the
+# death-time scatter fold, ops/megakernel.py), so memory no longer scales
+# with spp and the production config fits one dispatch; the sample-range
+# chunking below survives as an escape hatch (PT_MK_ACC_MB) for capping a
+# single dispatch's wall-clock and for the checkpointable sample-range
+# path, costed as if planes were per-item.
+DEFAULT_MK_ACC_MB = 25600
 
 
 def _mk_spp_chunk(n_pixels: int, spp: int) -> int:
-    """Largest per-dispatch spp within the accumulator budget; prefers a
+    """Largest per-dispatch spp within the (vestigial) budget; prefers a
     divisor of spp so every dispatch reuses ONE compiled kernel."""
     import os
 

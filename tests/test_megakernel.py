@@ -89,3 +89,38 @@ def test_megakernel_spp_chunking(monkeypatch):
         TESTING, scene_wide, xs, ys, spp=4, megakernel=True
     )
     np.testing.assert_allclose(chunked, whole, rtol=1e-6, atol=1e-7)
+
+
+def test_megakernel_knob_invariance():
+    """Scheduling knobs (lanes / leaf_every / service_div) must not change
+    per-sample semantics: at spp=1 the per-pixel output IS one sample's
+    radiance (no fold-order ambiguity), so every knob combination must
+    agree to compiled-fusion ulps — each knob value is a different XLA
+    program, so a handful of elements drift by ~1e-7 (measured 4.6% of
+    lanes at <=7e-7 relative), but EVERY element must stay inside a tight
+    1e-5 gate and >80% must be bit-exact. A semantics bug (draw-order or
+    traversal drift) moves whole radiance terms, not ulps, and fails this
+    where the 2e-4/97% scan-comparison budget could hide it (r2 VERDICT
+    weak #7)."""
+    g = load_golden(str(require_golden("scene.gold")))
+    scene_wide = scene_device_from_golden(g, wide=True)
+    n_pixels = 1000
+    base = path_trace_megakernel(
+        TESTING, scene_wide, n_pixels, 1, 0, lanes=256, leaf_every=4
+    )
+    ref = np.stack([np.asarray(base.x), np.asarray(base.y),
+                    np.asarray(base.z)], -1)
+    for lanes, leaf, sdiv in ((512, 4, 8), (256, 2, 8), (256, 6, 2),
+                              (1024, 4, 1)):
+        acc = path_trace_megakernel(
+            TESTING, scene_wide, n_pixels, 1, 0, lanes=lanes,
+            leaf_every=leaf, service_div=sdiv,
+        )
+        got = np.stack([np.asarray(acc.x), np.asarray(acc.y),
+                        np.asarray(acc.z)], -1)
+        label = f"lanes={lanes} leaf={leaf} sdiv={sdiv}"
+        np.testing.assert_allclose(
+            got, ref, rtol=1e-5, atol=1e-6, err_msg=label
+        )
+        exact = (got == ref).mean()
+        assert exact > 0.8, f"{label}: only {exact:.1%} bit-exact"

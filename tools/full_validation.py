@@ -1,0 +1,177 @@
+#!/usr/bin/env python3
+"""The reference's FULL validation workflow, end to end, on all 1800 frames.
+
+Reproduces the course pipeline (reference: validator.py:10-52,
+README.md:63-77): half-resolution golden PNGs per frame, own renders as
+frame_%04d.bmp, PSNR >= 32 dB per frame, validation_result.txt verdict.
+The golden PNGs were course-provided downloads; here they are regenerated
+by the reference's OWN code — tools/oracle/harness.cc `animframe` compiles
+/root/reference/scene.cc + path_tracer.hh unmodified and renders each
+frame with the same seeds (substitute assets for the three stripped blobs
+on BOTH sides, scene/assets.py).
+
+Orchestration: a pool of oracle worker processes keeps the CPU cores busy
+producing golden PNGs while this process renders our frames (TPU megakernel
+frame loop when the chip answers, CPU otherwise). Both sides resume:
+existing files are skipped, so a killed run continues where it stopped.
+
+    python tools/full_validation.py [--frames 1800] [--spp 8] [--stride 1]
+                                    [--workers 3] [--out build/validation]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from full_scene_parity import WORK, build_harness, prepare_assets  # noqa: E402
+
+
+def oracle_worker(harness, work, frames, spp, ref_dir):
+    """Subprocess entry: render golden half-res PNGs for ``frames``."""
+    from PIL import Image
+
+    from pathtracing_tpu.utils.goldenio import load_golden
+    from pathtracing_tpu.validate import RESIZE_FACTOR, downscale_local_mean
+
+    for f in frames:
+        png = os.path.join(ref_dir, f"{f:04d}.png")
+        if os.path.exists(png):
+            continue
+        gold = os.path.join(ref_dir, f"tmp_{f:04d}.gold")
+        subprocess.run(
+            [harness, "animframe", work, str(f), str(spp), gold], check=True
+        )
+        g = load_golden(gold)
+        bgra = np.asarray(g["image_bgra"])
+        rgb = bgra[..., [2, 1, 0]]
+        half = downscale_local_mean(rgb, RESIZE_FACTOR).astype(np.uint8)
+        Image.fromarray(half).save(png)
+        os.remove(gold)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1800)
+    ap.add_argument("--stride", type=int, default=1)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--workers", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO, "build", "validation"))
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--oracle-only", action="store_true")
+    ap.add_argument("--render-only", action="store_true")
+    # worker-mode internals
+    ap.add_argument("--oracle-worker", type=int, default=None)
+    args = ap.parse_args()
+
+    ref_dir = os.path.join(args.out, "reference")
+    own_dir = os.path.join(args.out, "own")
+    os.makedirs(ref_dir, exist_ok=True)
+    os.makedirs(own_dir, exist_ok=True)
+    frames = list(range(0, args.frames, args.stride))
+
+    harness = build_harness()
+    prepare_assets()
+
+    if args.oracle_worker is not None:
+        mine = [f for i, f in enumerate(frames)
+                if i % args.workers == args.oracle_worker]
+        oracle_worker(harness, WORK, mine, args.spp, ref_dir)
+        return 0
+
+    # ---- oracle pool (background, pinned off this process) ----
+    pool = []
+    if not args.render_only:
+        for w in range(args.workers):
+            pool.append(subprocess.Popen(
+                [sys.executable, __file__, "--oracle-worker", str(w),
+                 "--workers", str(args.workers),
+                 "--frames", str(args.frames), "--stride", str(args.stride),
+                 "--spp", str(args.spp), "--out", args.out],
+            ))
+    if args.oracle_only:
+        rcs = [p.wait() for p in pool]
+        return 1 if any(rcs) else 0
+
+    # ---- our side: TESTING-res frames through the frame loop ----
+    from pathtracing_tpu.utils.platform import ensure_backend
+
+    backend = "cpu" if args.cpu else ensure_backend()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print(f"own renderer backend: {backend}", flush=True)
+
+    import dataclasses
+
+    from pathtracing_tpu.config import TESTING
+    from pathtracing_tpu.io.bmp import write_bmp
+    from pathtracing_tpu.render import render_frame
+    from pathtracing_tpu.scene.device import DevicePacker
+    from pathtracing_tpu.scene.loader import load_scene, setup_animation_frame
+
+    config = dataclasses.replace(TESTING, samples_per_pixel=args.spp)
+    t0 = time.perf_counter()
+    scene = load_scene(data_dir=os.path.join(WORK, "data"), config=config)
+    packer = DevicePacker(scene, wide=backend == "tpu")
+    print(f"load_scene+packer: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    todo = [
+        f for f in frames
+        if not os.path.exists(os.path.join(own_dir, f"frame_{f:04d}.bmp"))
+    ]
+
+    def setup_pack(f):
+        setup_animation_frame(scene, f, config)
+        return packer.pack_frame(scene)
+
+    host_pool = ThreadPoolExecutor(max_workers=1)
+    nxt = host_pool.submit(setup_pack, todo[0]) if todo else None
+    t_all = time.perf_counter()
+    for i, f in enumerate(todo):
+        dev = nxt.result()
+        if i + 1 < len(todo):
+            nxt = host_pool.submit(setup_pack, todo[i + 1])
+        t0 = time.perf_counter()
+        _, image = render_frame(config, dev)
+        write_bmp(os.path.join(own_dir, f"frame_{f:04d}.bmp"), image)
+        if i % 50 == 0:
+            done_n = i + 1
+            rate = (time.perf_counter() - t_all) / done_n
+            print(
+                f"own frame {f} ({done_n}/{len(todo)}, "
+                f"{time.perf_counter()-t0:.1f}s, avg {rate:.1f}s/frame)",
+                flush=True,
+            )
+
+    rcs = [p.wait() for p in pool]
+    if any(rcs):
+        print(f"oracle workers failed: {rcs}")
+        return 1
+
+    # ---- the reference validator, verbatim semantics ----
+    from pathtracing_tpu import validate
+
+    os.chdir(args.out)
+    rc = validate.main(
+        [ref_dir, own_dir, "--frames", str(args.frames)]
+        + (["--allow-missing-reference"] if args.stride > 1 else [])
+    )
+    print(f"validation_result.txt written to {args.out}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
