@@ -88,10 +88,30 @@ def render_with_variance(
 
 def _stats_pass(config, scene, xs, ys, spp, tile_pixels, wavefront):
     """Tiled uniform pass returning (sums (N, 3), lum2 (N,))."""
-    from pathtracing_tpu.render import default_tile_pixels, run_tiled
+    import jax
+
+    from pathtracing_tpu.render import (
+        default_mk_knobs,
+        default_tile_pixels,
+        megakernel_supported,
+        run_tiled,
+    )
 
     if spp < 1:
         raise ValueError("the variance pass needs spp >= 1")
+    # the base pass is a full-frame row-major render: route it through the
+    # persistent-lane megakernel on TPU when the scene has wide tables
+    if jax.default_backend() == "tpu" and megakernel_supported(
+        scene, xs, ys, config.image_width
+    ):
+        lanes, leaf, sdiv = default_mk_knobs(scene)
+        r, g, b, lum2 = _render_frame_stats_megakernel(
+            config, scene, len(xs), spp, lanes, leaf, sdiv
+        )
+        return (
+            np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1),
+            np.asarray(lum2),
+        )
     if tile_pixels is None:
         tile_pixels = default_tile_pixels(scene)
     tile_kernel = (
@@ -102,6 +122,23 @@ def _stats_pass(config, scene, xs, ys, spp, tile_pixels, wavefront):
     ys = np.asarray(ys, np.int32)
     r, g, b, lum2 = run_tiled(kernel, xs, ys, tile_pixels, 4)
     return np.stack([r, g, b], -1), lum2
+
+
+import functools
+
+import jax as _jax
+
+
+@functools.partial(_jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+def _render_frame_stats_megakernel(config, scene, n_pixels, spp, lanes,
+                                   leaf, sdiv):
+    from pathtracing_tpu.ops.megakernel import path_trace_megakernel
+
+    acc, lum2 = path_trace_megakernel(
+        config, scene, n_pixels, spp, 0, lanes=lanes, leaf_every=leaf,
+        service_div=sdiv, with_stats=True,
+    )
+    return acc.x, acc.y, acc.z, lum2
 
 
 def allocate_samples(

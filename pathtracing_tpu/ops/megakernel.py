@@ -108,6 +108,8 @@ class _MkState(NamedTuple):
     acc_r: Array           # (n_pixels,) f32 per-pixel radiance sums
     acc_g: Array
     acc_b: Array
+    acc_l2: Array          # (n_pixels,) luminance^2 sums when with_stats
+    #                        (adaptive sampling's variance pass), else (0,)
     # path state (mirrors ops/wavefront._WfState)
     seed: Any              # rng.Seed
     bounce_i: Array
@@ -173,7 +175,7 @@ def _launch(scene, s: _MkState, mask, org: Vec3, d: Vec3, tmin, tmax0,
 
 
 def _service(config: RenderConfig, scene, s: _MkState, spp,
-             sample_base, n_pixels, pixel_base=0):
+             sample_base, n_pixels, pixel_base=0, with_stats=False):
     """Shade/chain/respawn for lanes whose ray has finished."""
     R = s.bounce_i.shape
     zero = jnp.zeros(R, jnp.float32)
@@ -343,6 +345,13 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     acc_r = s.acc_r.at[dead_pix].add(cur.x, mode="drop")
     acc_g = s.acc_g.at[dead_pix].add(cur.y, mode="drop")
     acc_b = s.acc_b.at[dead_pix].add(cur.z, mode="drop")
+    if with_stats:
+        lum = (
+            f32(0.2126) * cur.x + f32(0.7152) * cur.y + f32(0.0722) * cur.z
+        )
+        acc_l2 = s.acc_l2.at[dead_pix].add(lum * lum, mode="drop")
+    else:
+        acc_l2 = s.acc_l2
     cur = where3(died, v0, cur)
 
     # shared work queue: each dying lane is granted item
@@ -405,6 +414,7 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
         acc_r=acc_r,
         acc_g=acc_g,
         acc_b=acc_b,
+        acc_l2=acc_l2,
         tlas_count=tlas_count,
         tlas_offset=tlas_offset,
         light=light,
@@ -475,6 +485,7 @@ def path_trace_megakernel(
     leaf_every: int = DEFAULT_MK_LEAF_EVERY,
     service_div: int | None = None,
     pixel_base=0,
+    with_stats: bool = False,
 ):
     """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
     for pixels [pixel_base, pixel_base + n_pixels) of a
@@ -546,6 +557,7 @@ def path_trace_megakernel(
         acc_r=jnp.zeros(n_pixels, jnp.float32),
         acc_g=jnp.zeros(n_pixels, jnp.float32),
         acc_b=jnp.zeros(n_pixels, jnp.float32),
+        acc_l2=jnp.zeros(n_pixels if with_stats else 0, jnp.float32),
         tlas_count=i32(1),
         tlas_offset=i32(0),
         light=LightParams(
@@ -635,7 +647,7 @@ def path_trace_megakernel(
         return jax.lax.cond(
             do_service,
             lambda st: _service(config, scene, st, spp, sample_base,
-                                n_pixels, pixel_base),
+                                n_pixels, pixel_base, with_stats),
             lambda st: st,
             s,
         )
@@ -643,7 +655,10 @@ def path_trace_megakernel(
     final = jax.lax.while_loop(cond, body, state)
     # the accumulator planes are already per-pixel sums (folded on the fly
     # by the death-time scatter-add)
-    return Vec3(final.acc_r, final.acc_g, final.acc_b)
+    acc = Vec3(final.acc_r, final.acc_g, final.acc_b)
+    if with_stats:
+        return acc, final.acc_l2
+    return acc
 
 
 # Service fires when due lanes are at least 1/SERVICE_DIV of the live set.

@@ -1,13 +1,16 @@
 """Per-platform traversal tuning defaults, with a persisted tuned-file layer.
 
 The traversal knobs (two-speed period, compaction divisor, entry-capable
-cheap step, period unrolling) are pure scheduling choices — results are
-bit-identical under all of them (tests/test_traversal_twospeed.py) — but
-their optima differ between backends: CPU is op-bound with slow gathers,
-TPU v5e does (N, W) row gathers at ~865 GB/s but pays a large per-
-iteration dispatch cost. ``ray_query`` resolves unset knobs through this
-table, keyed by ``(platform, size_class)`` where size_class is "large"
-for scenes above ops.traversal.LARGE_SCENE_NODES packed nodes.
+cheap step, period unrolling, megakernel lanes/period/service) are pure
+scheduling choices — results are bit-identical under all of them
+(tests/test_traversal_twospeed.py, test_megakernel.py knob invariance) —
+but their optima differ between backends: CPU is op-bound; on the v5e
+every per-lane row gather costs ~3-10 ns regardless of width (the
+corrected round-2 cost model, BENCH_NOTES.md — timing through the axon
+tunnel must force a host fetch), so the optimum minimizes total gathered
+rows and batches service work. ``ray_query`` resolves unset knobs through
+this table, keyed by ``(platform, size_class)`` where size_class is
+"large" for scenes above ops.traversal.LARGE_SCENE_NODES packed nodes.
 
 Resolution order (first hit wins):
 1. explicit ``ray_query(...)`` argument,
@@ -59,16 +62,12 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
             "wide_layout": "w8",
         },
     },
-    # TPU rows are PRIORS from the offline v5e model (tools/step_cost.py:
-    # pre-fusion op-byte weights cheap 1.0 / flush 1.07 / mid 2.9 / full 4.0)
-    # plus the measured v5e characteristics (row gathers ~865 GB/s; large
-    # per-while-iteration dispatch cost): unroll=True removes the per-step
-    # lax.cond dispatch and checks the loop condition once per period;
-    # mid_entry=True on large scenes spends two cheap row gathers per step
-    # to avoid ~K/2 frozen iterations per BLAS entry (~10 entries/ray on
-    # the full animated scene). All combos AOT-lower for v5e
-    # (tools/aot_check.py). An on-chip sweep (tools/tpu_session.py
-    # --record) overwrites these via tuned.json.
+    # TPU rows: "small" was swept ON CHIP with host-fetch timing
+    # (2026-08-20, tools/mk_probe.py — see tuned.json, which overrides
+    # these); "large" rows remain priors pending a full-scene on-chip
+    # sweep (tools/stress_probe.py --record): unroll=True removes the
+    # per-step lax.cond dispatch, mid_entry=True avoids ~K/2 frozen
+    # iterations per BLAS entry (~10 entries/ray on the full scene).
     "tpu": {
         "small": {
             "leaf_every": 8,

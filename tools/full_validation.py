@@ -37,26 +37,50 @@ from full_scene_parity import WORK, build_harness, prepare_assets  # noqa: E402
 
 
 def oracle_worker(harness, work, frames, spp, ref_dir):
-    """Subprocess entry: render golden half-res PNGs for ``frames``."""
+    """Subprocess entry: render golden half-res PNGs for ``frames`` (an
+    arithmetic stripe). Uses the harness's batch `animrange` mode — ONE
+    load_scene() per run of missing frames instead of one per frame —
+    then converts each .gold to the course-style half-res PNG."""
     from PIL import Image
 
     from pathtracing_tpu.utils.goldenio import load_golden
     from pathtracing_tpu.validate import RESIZE_FACTOR, downscale_local_mean
 
-    for f in frames:
-        png = os.path.join(ref_dir, f"{f:04d}.png")
-        if os.path.exists(png):
-            continue
-        gold = os.path.join(ref_dir, f"tmp_{f:04d}.gold")
-        subprocess.run(
-            [harness, "animframe", work, str(f), str(spp), gold], check=True
-        )
-        g = load_golden(gold)
-        bgra = np.asarray(g["image_bgra"])
-        rgb = bgra[..., [2, 1, 0]]
-        half = downscale_local_mean(rgb, RESIZE_FACTOR).astype(np.uint8)
-        Image.fromarray(half).save(png)
-        os.remove(gold)
+    missing = [
+        f for f in frames
+        if not os.path.exists(os.path.join(ref_dir, f"{f:04d}.png"))
+    ]
+    if not missing:
+        return
+    step = frames[1] - frames[0] if len(frames) > 1 else 1
+    prefix = os.path.join(ref_dir, "tmp_")
+    # contiguous runs of the stripe -> one batch render each
+    runs = [[missing[0], 1]]
+    for f in missing[1:]:
+        if f == runs[-1][0] + runs[-1][1] * step:
+            runs[-1][1] += 1
+        else:
+            runs.append([f, 1])
+    def convert(fs):
+        for f in fs:
+            gold = f"{prefix}{f:04d}.gold"
+            g = load_golden(gold)
+            bgra = np.asarray(g["image_bgra"])
+            rgb = bgra[..., [2, 1, 0]]
+            half = downscale_local_mean(rgb, RESIZE_FACTOR).astype(np.uint8)
+            Image.fromarray(half).save(os.path.join(ref_dir, f"{f:04d}.png"))
+            os.remove(gold)
+
+    # sub-batches of <=64 frames bound the on-disk .gold footprint
+    for first, count in runs:
+        for lo in range(0, count, 64):
+            n = min(64, count - lo)
+            subprocess.run(
+                [harness, "animrange", work, str(first + lo * step), str(n),
+                 str(step), str(spp), prefix],
+                check=True,
+            )
+            convert(first + (lo + k) * step for k in range(n))
 
 
 def main():

@@ -734,6 +734,58 @@ static void cmd_animframe(const char* workdir, int frame, int spp, const char* o
     fclose(g_out);
 }
 
+// ----------------------------------------------------------- animrange ----
+// Batch variant of animframe: ONE load_scene() serves frames
+// [first, first+count*stride) stepping by stride, writing
+// OUT_PREFIX%04d.gold each — the per-frame scene reload dominated the
+// 1800-frame validation oracle (tools/full_validation.py) otherwise.
+static void cmd_animrange(const char* workdir, int first, int count,
+                          int stride, int spp, const char* out_prefix)
+{
+    if(chdir(workdir)) { perror("chdir"); exit(1); }
+    scene s = load_scene();
+    std::vector<float> colors(IMAGE_WIDTH*IMAGE_HEIGHT*3);
+    std::vector<uint8_t> image(IMAGE_WIDTH*IMAGE_HEIGHT*4);
+    for(int k = 0; k < count; ++k)
+    {
+        int frame = first + k * stride;
+        char out_path[4096];
+        snprintf(out_path, sizeof out_path, "%s%04d.gold", out_prefix, frame);
+        // skip frames that already exist (resume)
+        FILE* probe = fopen(out_path, "rb");
+        if(probe) { fclose(probe); continue; }
+        setup_animation_frame(s, (uint)frame);
+        #pragma omp parallel for
+        for(uint i = 0; i < IMAGE_WIDTH * IMAGE_HEIGHT; ++i)
+        {
+            uint x = i % IMAGE_WIDTH;
+            uint y = i / IMAGE_WIDTH;
+            float3 c = {0,0,0};
+            for(int j = 0; j < spp; ++j)
+            {
+                c += path_trace_pixel(
+                    uint2{x, y}, j,
+                    s.subframes.data(), s.instances.data(),
+                    s.bvh_buf.nodes.data(), s.bvh_buf.links.data(),
+                    s.mesh_buf.indices.data(), s.mesh_buf.pos.data(),
+                    s.mesh_buf.normal.data(),
+                    s.mesh_buf.albedo.data(), s.mesh_buf.material.data()
+                );
+            }
+            c /= (float)spp;
+            colors[i*3] = c.x; colors[i*3+1] = c.y; colors[i*3+2] = c.z;
+            uchar4 o = tonemap_pixel(c);
+            image[i*4] = o.x; image[i*4+1] = o.y;
+            image[i*4+2] = o.z; image[i*4+3] = o.w;
+        }
+        uint64_t w = IMAGE_WIDTH, h = IMAGE_HEIGHT;
+        open_out(out_path);
+        write_array("colors", 'f', 4, { h, w, 3 }, colors.data());
+        write_array("image_bgra", 'u', 1, { h, w, 4 }, image.data());
+        fclose(g_out);
+    }
+}
+
 int main(int argc, char** argv)
 {
     setlocale(LC_ALL, "C");
@@ -747,7 +799,8 @@ int main(int argc, char** argv)
             "  harness scene DATA_DIR GROUND_OBJ OUT\n"
             "  harness trace DATA_DIR GROUND_OBJ OUT XSTRIDE YSTRIDE NSAMPLES\n"
             "  harness render DATA_DIR GROUND_OBJ OUT SPP\n"
-            "  harness animframe WORKDIR FRAME SPP OUT\n");
+            "  harness animframe WORKDIR FRAME SPP OUT\n"
+            "  harness animrange WORKDIR FIRST COUNT STRIDE SPP OUT_PREFIX\n");
         return 1;
     }
     std::string cmd = argv[1];
@@ -784,6 +837,9 @@ int main(int argc, char** argv)
     }
     else if(cmd == "animframe")
         cmd_animframe(argv[2], atoi(argv[3]), atoi(argv[4]), argv[5]);
+    else if(cmd == "animrange")
+        cmd_animrange(argv[2], atoi(argv[3]), atoi(argv[4]), atoi(argv[5]),
+                      atoi(argv[6]), argv[7]);
     else { fprintf(stderr, "unknown command %s\n", cmd.c_str()); return 1; }
     return 0;
 }
