@@ -69,22 +69,30 @@ DEFAULT_MK_LANES: int | None = None
 DEFAULT_MK_LEAF: int | None = None
 DEFAULT_MK_SERVICE: int | None = None
 
-# Megakernel dispatch budget (MB). The accumulator is per-PIXEL (the
+# Megakernel dispatch budgets. The accumulator is per-PIXEL (the
 # death-time scatter fold, ops/megakernel.py), so memory no longer scales
-# with spp and the production config fits one dispatch; the sample-range
-# chunking below survives as an escape hatch (PT_MK_ACC_MB) for capping a
-# single dispatch's wall-clock and for the checkpointable sample-range
-# path, costed as if planes were per-item.
+# with spp; the binding limit is per-dispatch WALL CLOCK — one while_loop
+# execution that runs minutes of device time gets the axon worker killed
+# ("TPU worker process crashed", observed at 236 Msamples/dispatch), and a
+# production frame would be one 2.1-Gsample dispatch. Cap dispatches at
+# ~32 Msamples (~15 s at 2.3 Msamples/s); partial sums add exactly
+# (sample-range seeding contract). PT_MK_ACC_MB survives as the memory
+# escape hatch.
 DEFAULT_MK_ACC_MB = 25600
+DEFAULT_MK_DISPATCH_SAMPLES = 32 << 20
 
 
 def _mk_spp_chunk(n_pixels: int, spp: int) -> int:
-    """Largest per-dispatch spp within the (vestigial) budget; prefers a
-    divisor of spp so every dispatch reuses ONE compiled kernel."""
+    """Largest per-dispatch spp within the memory + wall-clock budgets;
+    prefers a divisor of spp so every dispatch reuses ONE compiled
+    kernel."""
     import os
 
     budget = int(os.environ.get("PT_MK_ACC_MB", DEFAULT_MK_ACC_MB)) << 20
-    limit = max(1, budget // (n_pixels * 12))
+    cap = int(
+        os.environ.get("PT_MK_DISPATCH_SAMPLES", DEFAULT_MK_DISPATCH_SAMPLES)
+    )
+    limit = max(1, min(budget // (n_pixels * 12), cap // n_pixels))
     if spp <= limit:
         return spp
     for c in range(limit, 0, -1):

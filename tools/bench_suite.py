@@ -195,8 +195,11 @@ def bench_grads(scale, json_path):
     from pathtracing_tpu.utils.goldenio import load_golden
     from golden_scene import scene_device_from_golden
 
+    # wide tables speed the (stop-gradient) traversal; gradients still flow
+    # through the per-vertex tables (diff/render.py fixed-topology model)
     scene = scene_device_from_golden(
-        load_golden(str(REPO / "tests/golden/scene.gold"))
+        load_golden(str(REPO / "tests/golden/scene.gold")),
+        wide=jax.default_backend() == "tpu",
     )
     n = {"full": 1 << 16, "small": 1 << 14}.get(scale, 1 << 10)
     rng = np.random.default_rng(0)

@@ -88,7 +88,7 @@ def main():
     ap.add_argument("--frames", type=int, default=1800)
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--spp", type=int, default=8)
-    ap.add_argument("--workers", type=int, default=3)
+    ap.add_argument("--workers", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(REPO, "build", "validation"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--oracle-only", action="store_true")
@@ -112,15 +112,18 @@ def main():
         oracle_worker(harness, WORK, mine, args.spp, ref_dir)
         return 0
 
-    # ---- oracle pool (background, pinned off this process) ----
+    # ---- oracle pool (background; one OMP thread per worker — N single-
+    # threaded harnesses beat N x 4-thread ones fighting over 4 cores) ----
     pool = []
     if not args.render_only:
+        env = dict(os.environ, OMP_NUM_THREADS="1")
         for w in range(args.workers):
             pool.append(subprocess.Popen(
                 [sys.executable, __file__, "--oracle-worker", str(w),
                  "--workers", str(args.workers),
                  "--frames", str(args.frames), "--stride", str(args.stride),
                  "--spp", str(args.spp), "--out", args.out],
+                env=env,
             ))
     if args.oracle_only:
         rcs = [p.wait() for p in pool]

@@ -29,10 +29,12 @@ import numpy as np
 
 def main():
     args = sys.argv[1:]
-    opt = {"--pixels": 640 * 360, "--spp": 1, "--lanes": 32768}
+    opt = {"--pixels": 640 * 360, "--spp": 1, "--lanes": 32768,
+           "--leaf": 4, "--service": 8}
     for i in range(0, len(args), 2):
         opt[args[i]] = int(args[i + 1])
     n_pixels, spp, lanes = opt["--pixels"], opt["--spp"], opt["--lanes"]
+    sdiv = opt["--service"]
 
     import jax
     import jax.numpy as jnp
@@ -53,7 +55,7 @@ def main():
         wide=True,
     )
 
-    leaf_every = 4
+    leaf_every = opt["--leaf"]
 
     # Grab the initial loop state by intercepting the while_loop call.
     trace = {}
@@ -88,7 +90,7 @@ def main():
         live = jnp.logical_not(s.lane_done)
         due = jnp.count_nonzero(s.trav.done & live)
         stuck = jnp.count_nonzero(jnp.logical_not(s.trav.done) & live)
-        do_service = (due * mk.SERVICE_DIV >= stuck + due) | (stuck == 0)
+        do_service = (due * sdiv >= stuck + due) | (stuck == 0)
         return jax.lax.cond(
             do_service,
             lambda st: mk._service(TESTING, scene, st, spp, 0, n_pixels),
