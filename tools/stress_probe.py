@@ -35,6 +35,12 @@ def main():
         "tuning row (pathtracing_tpu/tuned.json)",
     )
     ap.add_argument(
+        "--mk",
+        action="store_true",
+        help="sweep MEGAKERNEL knobs (lanes/leaf/service) on the full "
+        "scene instead of the binary-walk knobs",
+    )
+    ap.add_argument(
         "--split",
         action="store_true",
         help="only measure the TLAS/BLAS step split + iteration quantiles "
@@ -59,7 +65,7 @@ def main():
     t0 = time.perf_counter()
     host = load_scene(config=TESTING)
     setup_animation_frame(host, args.frame, TESTING)
-    packer = DevicePacker(host)
+    packer = DevicePacker(host, wide=args.mk)
     scene = packer.pack_frame(host)
     n_tris = int(np.asarray(scene.tri_pos).shape[0])
     n_nodes = int(np.asarray(scene.nl8).shape[0]) // 8
@@ -121,11 +127,14 @@ def main():
         return
 
     def timeit(fn, *a, n=3):
-        jax.block_until_ready(fn(*a))
+        # block_until_ready does NOT block through the axon tunnel
+        # (BENCH_NOTES round-2 methodology): force a host fetch instead;
+        # in-order execution makes fetching the last rep fence all reps
+        float(np.asarray(fn(*a)).ravel()[0])
         t = time.perf_counter()
         for _ in range(n):
             out = fn(*a)
-        jax.block_until_ready(out)
+        float(np.asarray(out).ravel()[0])
         return (time.perf_counter() - t) / n
 
     def run(sc, label, **kw):
@@ -142,6 +151,41 @@ def main():
             f"(hit {hitrate:.0%})"
         )
         return dt
+
+    if args.mk:
+        from pathtracing_tpu.ops.megakernel import path_trace_megakernel
+
+        n_pixels, spp = W * H, 4
+        best = None
+        for lanes in (8192, 12288, 16384, 32768):
+            for leaf, sdiv in ((5, 2), (6, 2), (8, 2), (5, 4)):
+                fn = jax.jit(
+                    lambda lanes=lanes, leaf=leaf, sdiv=sdiv:
+                    path_trace_megakernel(
+                        TESTING, scene, n_pixels, spp, 0, lanes=lanes,
+                        leaf_every=leaf, service_div=sdiv,
+                    ).x
+                )
+                dt = timeit(fn, n=1)
+                ms = n_pixels * spp / dt / 1e6
+                print(
+                    f"mk lanes={lanes} leaf={leaf} sdiv={sdiv}: "
+                    f"{dt:.2f}s {ms:.3f} Msamples/s", flush=True,
+                )
+                if best is None or ms > best[0]:
+                    best = (ms, lanes, leaf, sdiv)
+        ms, lanes, leaf, sdiv = best
+        print(f"mk winner: lanes={lanes} leaf={leaf} sdiv={sdiv} "
+              f"({ms:.3f} Msamples/s)")
+        if args.record:
+            from pathtracing_tpu.tuning import record_tuning
+
+            path = record_tuning(
+                jax.default_backend(), "large", mk_lanes=lanes,
+                mk_leaf_every=leaf, mk_service_div=sdiv,
+            )
+            print(f"recorded -> {path}")
+        return
 
     base = run(scene, "default      ")
     scene5 = with_bf16_nodes(scene)
