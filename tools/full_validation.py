@@ -88,7 +88,7 @@ def main():
     ap.add_argument("--frames", type=int, default=1800)
     ap.add_argument("--stride", type=int, default=1)
     ap.add_argument("--spp", type=int, default=8)
-    ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO, "build", "validation"))
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--oracle-only", action="store_true")
@@ -112,11 +112,14 @@ def main():
         oracle_worker(harness, WORK, mine, args.spp, ref_dir)
         return 0
 
-    # ---- oracle pool (background; one OMP thread per worker — N single-
-    # threaded harnesses beat N x 4-thread ones fighting over 4 cores) ----
+    # ---- oracle pool. ONE multi-threaded harness is the right shape on
+    # this box: the full scene's ~50 MB working set thrashes the shared
+    # cache when N copies run side by side (measured 50+ core-s/frame at
+    # 4x1-thread vs 6.4 at 1x4-thread) ----
     pool = []
     if not args.render_only:
-        env = dict(os.environ, OMP_NUM_THREADS="1")
+        threads = max(1, (os.cpu_count() or 4) // args.workers)
+        env = dict(os.environ, OMP_NUM_THREADS=str(threads))
         for w in range(args.workers):
             pool.append(subprocess.Popen(
                 [sys.executable, __file__, "--oracle-worker", str(w),
