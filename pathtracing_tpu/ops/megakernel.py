@@ -618,8 +618,17 @@ def path_trace_megakernel(
         jnp.int32(_PH_PRIMARY),
     )
 
-    def cond(s):
-        return jnp.any(jnp.logical_not(s.lane_done))
+    # Safety bound: a single pathological lane (or a table-corruption
+    # cursor cycle) must not spin the while_loop until the TPU worker's
+    # watchdog kills the process. ~200 periods per work item per lane is
+    # >20x the measured golden-scene depth; hitting the cap abandons the
+    # stragglers' partial items (their finished samples are already
+    # folded) instead of hanging the chip.
+    max_periods = 10_000 + 200 * (-(-n_items // R))
+
+    def cond(c):
+        s, period = c
+        return jnp.any(jnp.logical_not(s.lane_done)) & (period < max_periods)
 
     # Adaptive service: the shade/launch block runs only when at least
     # R/SERVICE_DIV lanes have a finished ray waiting — or when no
@@ -652,7 +661,11 @@ def path_trace_megakernel(
             s,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    def body_c(c):
+        s, period = c
+        return body(s), period + 1
+
+    final, _ = jax.lax.while_loop(cond, body_c, (state, jnp.int32(0)))
     # the accumulator planes are already per-pixel sums (folded on the fly
     # by the death-time scatter-add)
     acc = Vec3(final.acc_r, final.acc_g, final.acc_b)

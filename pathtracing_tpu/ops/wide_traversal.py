@@ -499,37 +499,40 @@ def _wide_drain(scene, state, consts, tmin, anyhit, max_steps=None,
     return final
 
 
-def _as_f32_bits(a):
-    if a.dtype == jnp.float32:
+def _as_i32_bits(a):
+    # INT32, not f32: XLA:TPU's big-buffer copy ops (concatenate, and
+    # potentially stack/relayout) flush f32 SUBNORMALS to zero, and uint32
+    # cursor/link bit patterns with small row ids are exactly subnormal
+    # patterns (measured on v5e, BENCH_NOTES round 3). Integer buffers are
+    # never flushed.
+    if a.dtype == jnp.int32:
         return a
     if a.dtype == jnp.bool_:
-        return jax.lax.bitcast_convert_type(
-            a.astype(jnp.uint32), jnp.float32
-        )
-    return jax.lax.bitcast_convert_type(a, jnp.float32)
+        return a.astype(jnp.int32)
+    return jax.lax.bitcast_convert_type(a, jnp.int32)
 
 
-def _from_f32_bits(col, like):
-    if like.dtype == jnp.float32:
+def _from_i32_bits(col, like):
+    if like.dtype == jnp.int32:
         return col
     if like.dtype == jnp.bool_:
-        return jax.lax.bitcast_convert_type(col, jnp.uint32) != 0
+        return col != 0
     return jax.lax.bitcast_convert_type(col, like.dtype)
 
 
 def _pack_lanes(tree):
-    """Stack a pytree of (R,) arrays into one (R, C) f32 bit matrix, so a
+    """Stack a pytree of (R,) arrays into one (R, C) int32 bit matrix, so a
     compaction permute costs ONE row gather instead of C one-column gathers
     (each of which pays the full ~10 ns/row fixed price — BENCH_NOTES)."""
     leaves = jax.tree.leaves(tree)
-    mat = jnp.stack([_as_f32_bits(a) for a in leaves], axis=1)
+    mat = jnp.stack([_as_i32_bits(a) for a in leaves], axis=1)
     return mat, leaves
 
 
 def _unpack_lanes(mat, tree):
     leaves, treedef = jax.tree.flatten(tree)
     out = [
-        _from_f32_bits(mat[:, i], like) for i, like in enumerate(leaves)
+        _from_i32_bits(mat[:, i], like) for i, like in enumerate(leaves)
     ]
     return jax.tree.unflatten(treedef, out)
 

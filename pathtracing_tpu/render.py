@@ -80,18 +80,26 @@ DEFAULT_MK_SERVICE: int | None = None
 # escape hatch.
 DEFAULT_MK_ACC_MB = 25600
 DEFAULT_MK_DISPATCH_SAMPLES = 32 << 20
+# large scenes (deep forests, 100 MB+ tables) run ~10x fewer samples/s, so
+# their dispatches must be proportionally smaller to stay under the
+# worker's execution watchdog
+DEFAULT_MK_DISPATCH_SAMPLES_LARGE = 4 << 20
 
 
-def _mk_spp_chunk(n_pixels: int, spp: int) -> int:
+def _mk_spp_chunk(n_pixels: int, spp: int, scene=None) -> int:
     """Largest per-dispatch spp within the memory + wall-clock budgets;
     prefers a divisor of spp so every dispatch reuses ONE compiled
     kernel."""
     import os
 
+    default_cap = DEFAULT_MK_DISPATCH_SAMPLES
+    if scene is not None:
+        from pathtracing_tpu.ops.traversal import LARGE_SCENE_NODES
+
+        if (scene.nl8.shape[0] // 8) > LARGE_SCENE_NODES:
+            default_cap = DEFAULT_MK_DISPATCH_SAMPLES_LARGE
     budget = int(os.environ.get("PT_MK_ACC_MB", DEFAULT_MK_ACC_MB)) << 20
-    cap = int(
-        os.environ.get("PT_MK_DISPATCH_SAMPLES", DEFAULT_MK_DISPATCH_SAMPLES)
-    )
+    cap = int(os.environ.get("PT_MK_DISPATCH_SAMPLES", default_cap))
     limit = max(1, min(budget // (n_pixels * 12), cap // n_pixels))
     if spp <= limit:
         return spp
@@ -243,7 +251,7 @@ def render_pixels(
         # ~25 GB — over HBM. Chunk the sample range so each dispatch's
         # planes stay under the budget; partial sums add exactly (the
         # sample-range seeding contract, reference: path_tracer.hh:659).
-        chunk = _mk_spp_chunk(n, spp)
+        chunk = _mk_spp_chunk(n, spp, scene)
         for a in range(0, spp, chunk):
             c = min(chunk, spp - a)
             r, g, b = _render_frame_megakernel(

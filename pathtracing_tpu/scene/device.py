@@ -21,7 +21,21 @@ from __future__ import annotations
 from typing import NamedTuple, Any
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+def _concat_rows_bitsafe(static_dev, tail_host: np.ndarray):
+    """Concatenate a device-resident f32 table with a host tail WITHOUT an
+    f32 concat: XLA:TPU's big-buffer f32 concatenate flushes SUBNORMALS to
+    zero (measured on v5e, BENCH_NOTES round 3), and these tables carry
+    uint32 link/cursor bit patterns viewed as f32 — small row ids are
+    subnormal patterns. Concatenating in int32 space is bit-exact."""
+    si = jax.lax.bitcast_convert_type(static_dev, jnp.int32)
+    ti = jnp.asarray(np.ascontiguousarray(tail_host, np.float32).view(np.int32))
+    return jax.lax.bitcast_convert_type(
+        jnp.concatenate([si, ti]), jnp.float32
+    )
 
 Array = Any
 f32 = np.float32
@@ -424,7 +438,7 @@ class DevicePacker:
                     nodes[off : off + cnt], (8, 1)
                 )
                 tail[lo : lo + 8 * cnt, 6:8] = tail_links[lo : lo + 8 * cnt]
-            nl8 = jnp.concatenate([self._static_nl8, jnp.asarray(tail)])
+            nl8 = _concat_rows_bitsafe(self._static_nl8, tail)
         else:
             nl8 = self._static_nl8
 
@@ -465,8 +479,8 @@ class DevicePacker:
                 ).view(np.int32)
                 root_by_off = np.concatenate([root_by_off, pad])
             out = out._replace(
-                wide_rows=jnp.concatenate(
-                    [self._wide_static_dev, jnp.asarray(tail_rows)]
+                wide_rows=_concat_rows_bitsafe(
+                    self._wide_static_dev, tail_rows
                 ),
                 wide_root=jnp.asarray(root_by_off),
                 wide_root_base=jnp.int32(n_static),
