@@ -139,3 +139,48 @@ def test_megakernel_through_packer(host_scene):
     a = render_pixels(TESTING, oneshot, xs, ys, spp=2, megakernel=True)
     b = render_pixels(TESTING, inc, xs, ys, spp=2, megakernel=True)
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_concat_rows_bitsafe_preserves_subnormal_patterns():
+    """The per-frame table concat must preserve uint32 link bit patterns
+    EXACTLY. XLA:TPU's big-buffer f32 concatenate flushes subnormals (the
+    round-3 frame-loop corruption, BENCH_NOTES), so the concat runs in
+    int32 space; this pins the bit-exactness contract on every backend."""
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.scene.device import _concat_rows_bitsafe
+
+    pat = np.array(
+        [[0x0037EB38, 0x803649D0, 0xC0000000, 0x00000001,
+          0x7F800000, 0x00000000, 0x80000000, 0x3F800000]], np.uint32
+    )
+    static = np.tile(pat, (700, 1)).view(np.float32)
+    tail = np.tile(pat[:, ::-1], (300, 1)).view(np.float32)
+    out = np.asarray(
+        _concat_rows_bitsafe(jnp.asarray(static), tail)
+    ).view(np.uint32)
+    np.testing.assert_array_equal(out[:700], static.view(np.uint32))
+    np.testing.assert_array_equal(out[700:], tail.view(np.uint32))
+
+
+def test_mk_dispatch_chunking_scene_aware():
+    """Large scenes get a smaller per-dispatch sample cap (their samples
+    run ~10x slower; a multi-minute dispatch gets the TPU worker killed)."""
+    from pathtracing_tpu.ops.traversal import LARGE_SCENE_NODES
+    from pathtracing_tpu.render import (
+        DEFAULT_MK_DISPATCH_SAMPLES,
+        DEFAULT_MK_DISPATCH_SAMPLES_LARGE,
+        _mk_spp_chunk,
+    )
+
+    class _S:
+        def __init__(self, n_nodes):
+            self.nl8 = np.zeros((8 * n_nodes, 8), np.float32)
+
+    n_pixels = 1 << 20
+    small = _mk_spp_chunk(n_pixels, 1024, _S(100))
+    large = _mk_spp_chunk(n_pixels, 1024, _S(LARGE_SCENE_NODES + 1))
+    assert small * n_pixels <= DEFAULT_MK_DISPATCH_SAMPLES
+    assert large * n_pixels <= DEFAULT_MK_DISPATCH_SAMPLES_LARGE
+    assert large < small
+    assert 1024 % small == 0 and 1024 % large == 0
