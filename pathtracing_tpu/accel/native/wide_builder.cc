@@ -130,6 +130,8 @@ struct Builder
         return arena.back().get();
     }
 
+    u32 n_nodes = 0;   // current tree's node count (cycle guard bound)
+
     // ---- binary tree reconstruction (accel/wide._binary_children /
     // _group_of; reference link layout: bvh.cc:170-226) ----
     Group* group_of(const u32* links, const float* nodes6, u32 v)
@@ -144,10 +146,18 @@ struct Builder
             return g;
         }
         u32 c = accept;
+        size_t guard = 0;
         while (true) {
-            g->children.push_back(group_of(links, nodes6, c));
+            Group* ch = group_of(links, nodes6, c);
+            // corrupt link tables must fail cleanly, not spin (the Python
+            // twin raises "cyclic link chain"); payload -2 marks the
+            // corruption and propagates to the root, where the create
+            // entry point returns NULL (Python fallback takes over)
+            if (ch->payload == -2) { g->children.clear(); g->payload = -2; return g; }
+            g->children.push_back(ch);
             u32 nxt = links[2 * (size_t)c + 1];
             if (nxt == cancel) break;
+            if (++guard > n_nodes) { g->children.clear(); g->payload = -2; return g; }
             c = nxt;
         }
         for (Group* ch : g->children) g->tri_count += ch->tri_count;
@@ -336,9 +346,11 @@ void* pt_wide_tree_create(
     h->b.base = base_row;
     h->b.tri9 = tri9;
     h->b.payload_cursor = payload_cursor;
+    h->b.n_nodes = n;
     for (int o = 0; o < 8; o++) {
         const u32* olinks = links + (size_t)o * n * 2;
         Group* root = h->b.group_of(olinks, nodes6, 0);
+        if (root->payload == -2) { delete h; return nullptr; }  // corrupt links
         u32 rid = h->b.emit_wide(root, exit_sentinel);
         h->root8[o] = h->b.lay.cursor(KIND_WIDE, rid);
         h->b.arena.clear();

@@ -39,9 +39,11 @@ Cursor / link encoding (uint32; B = layout.slot_bits):
   sentinels: END_TLAS (lane done), END_BLAS (pop to the TLAS resume cursor)
 
 Two layouts ship (LAYOUT_W8 / LAYOUT_W16, keyed by row width): 8 slots +
-4-tri leaves in 192 B rows, and 16 slots + 8-tri leaves in 352 B rows —
-the fat variant halves gathered rows per ray, and v5e row gathers are
-width-flat to >=512 B (BENCH_NOTES round 2), so the fat rows are free.
+4-tri leaves in 192 B rows, and 16 slots + 8-tri leaves in 352 B rows.
+w16 gathers ~1.6x fewer rows per ray, but measured on the v5e it LOSES
+(1.5 vs 1.8 Msamples/s at matched knobs): the fatter full step (16 slab
+slots + 8 triangle tests for every lane) costs more than the saved
+gathers, so w8 stays the default (BENCH_NOTES round 3).
 """
 
 from __future__ import annotations
@@ -107,8 +109,8 @@ class WideLayout:
 
 # The two shipped layouts, keyed by row width (ops/wide_traversal.py
 # recovers the layout from scene.wide_rows.shape[1]):
-#   w8  : 8 slots / 4-tri leaves, 132 B rows (the round-2 original)
-#   w16 : 16 slots / 8-tri leaves, 324 B rows — ~2x fewer gathers per ray
+#   w8  : 8 slots / 4-tri leaves, 48-col (192 B) rows (the round-2 layout)
+#   w16 : 16 slots / 8-tri leaves, 88-col (352 B) rows — fewer gathers/ray
 LAYOUT_W8 = WideLayout(8, 4)
 LAYOUT_W16 = WideLayout(16, 8)
 LAYOUTS_BY_WIDTH = {LAYOUT_W8.w_row: LAYOUT_W8, LAYOUT_W16.w_row: LAYOUT_W16}

@@ -104,14 +104,25 @@ def _stats_pass(config, scene, xs, ys, spp, tile_pixels, wavefront):
     if jax.default_backend() == "tpu" and megakernel_supported(
         scene, xs, ys, config.image_width
     ):
+        from pathtracing_tpu.render import _mk_spp_chunk
+
         lanes, leaf, sdiv = default_mk_knobs(scene)
-        r, g, b, lum2 = _render_frame_stats_megakernel(
-            config, scene, len(xs), spp, lanes, leaf, sdiv
-        )
-        return (
-            np.stack([np.asarray(r), np.asarray(g), np.asarray(b)], -1),
-            np.asarray(lum2),
-        )
+        n = len(xs)
+        sums = np.zeros((n, 3), np.float32)
+        lum2 = np.zeros(n, np.float32)
+        # same dispatch wall-clock cap as render_pixels (a single
+        # multi-minute dispatch gets the TPU worker killed)
+        chunk = _mk_spp_chunk(n, spp, scene)
+        for a in range(0, spp, chunk):
+            c = min(chunk, spp - a)
+            r, g, b, l2 = _render_frame_stats_megakernel(
+                config, scene, n, c, _jax_i32(a), lanes, leaf, sdiv
+            )
+            sums[:, 0] += np.asarray(r)
+            sums[:, 1] += np.asarray(g)
+            sums[:, 2] += np.asarray(b)
+            lum2 += np.asarray(l2)
+        return sums, lum2
     if tile_pixels is None:
         tile_pixels = default_tile_pixels(scene)
     tile_kernel = (
@@ -129,14 +140,20 @@ import functools
 import jax as _jax
 
 
-@functools.partial(_jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
-def _render_frame_stats_megakernel(config, scene, n_pixels, spp, lanes,
-                                   leaf, sdiv):
+def _jax_i32(v):
+    import jax.numpy as _jnp
+
+    return _jnp.int32(v)
+
+
+@functools.partial(_jax.jit, static_argnums=(0, 2, 3, 5, 6, 7))
+def _render_frame_stats_megakernel(config, scene, n_pixels, spp,
+                                   sample_base, lanes, leaf, sdiv):
     from pathtracing_tpu.ops.megakernel import path_trace_megakernel
 
     acc, lum2 = path_trace_megakernel(
-        config, scene, n_pixels, spp, 0, lanes=lanes, leaf_every=leaf,
-        service_div=sdiv, with_stats=True,
+        config, scene, n_pixels, spp, sample_base, lanes=lanes,
+        leaf_every=leaf, service_div=sdiv, with_stats=True,
     )
     return acc.x, acc.y, acc.z, lum2
 

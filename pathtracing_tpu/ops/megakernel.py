@@ -501,7 +501,6 @@ def path_trace_megakernel(
     assert getattr(scene, "wide_rows", None) is not None
     R = lanes
     n_items = n_pixels * spp
-    n_chunks = -(-n_items // lanes)
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
     item0 = jnp.minimum(lane, n_items - 1)
     pixel0 = pixel_base + item0 % n_pixels

@@ -33,9 +33,9 @@ def _render_tile_wavefront(
     return acc.x, acc.y, acc.z
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5, 6, 7))
 def _render_frame_megakernel(
-    config: RenderConfig, scene, n_pixels: int, spp: int, sample_base: int,
+    config: RenderConfig, scene, n_pixels: int, spp: int, sample_base,
     lanes: int, leaf_every: int, service_div: int,
 ):
     """Persistent-lane megakernel (ops/megakernel.py): one while_loop renders
@@ -240,22 +240,24 @@ def render_pixels(
     if megakernel:
         if not megakernel_supported(scene, xs, ys, config.image_width):
             raise ValueError(
-                "megakernel needs wide tables, no area lights, and a "
-                "row-major [0, N) pixel list"
+                "megakernel needs wide tables and a row-major [0, N) "
+                "pixel list"
             )
         n = len(xs)
         lanes, leaf, sdiv = default_mk_knobs(scene)
         out = np.zeros((n, 3), np.float32)
-        # Accumulator planes are O(n_pixels x spp) (ops/megakernel.py item
-        # order), which at the production config (1920x1080 @ 1024 spp) is
-        # ~25 GB — over HBM. Chunk the sample range so each dispatch's
-        # planes stay under the budget; partial sums add exactly (the
+        # Chunk the sample range so no single dispatch runs minutes of
+        # device time (the worker watchdog kills those — see
+        # DEFAULT_MK_DISPATCH_SAMPLES); partial sums add exactly (the
         # sample-range seeding contract, reference: path_tracer.hh:659).
+        # sample_base is TRACED, so every equal-sized chunk reuses one
+        # compiled kernel.
         chunk = _mk_spp_chunk(n, spp, scene)
         for a in range(0, spp, chunk):
             c = min(chunk, spp - a)
             r, g, b = _render_frame_megakernel(
-                config, scene, n, c, int(sample_base) + a, lanes, leaf, sdiv
+                config, scene, n, c,
+                jnp.int32(int(sample_base) + a), lanes, leaf, sdiv
             )
             out[:, 0] += np.asarray(r)[:n]
             out[:, 1] += np.asarray(g)[:n]

@@ -97,6 +97,7 @@ def main():
     ap.add_argument("--oracle-worker", type=int, default=None)
     args = ap.parse_args()
 
+    args.out = os.path.abspath(args.out)
     ref_dir = os.path.join(args.out, "reference")
     own_dir = os.path.join(args.out, "own")
     os.makedirs(ref_dir, exist_ok=True)

@@ -73,7 +73,8 @@ def main():
         )
     finally:
         jax.lax.while_loop = real_while
-    state = trace["init"]
+    # the loop carry is (state, period) since the round-3 safety bound
+    state = trace["init"][0]
 
     @jax.jit
     def cheap(s):
