@@ -134,9 +134,19 @@ struct Builder
 
     // ---- binary tree reconstruction (accel/wide._binary_children /
     // _group_of; reference link layout: bvh.cc:170-226) ----
-    Group* group_of(const u32* links, const float* nodes6, u32 v)
+    // Depth guard: recursion depth equals the binary BVH depth; the Python
+    // twin raises its recursion limit to 100000, so comparably deep trees
+    // must not overflow the default 8 MB C stack and segfault the whole
+    // process. Past MAX_DEPTH (~3 MB of frames) mark the tree corrupt
+    // (payload -2) like the cycle guard: pt_wide_tree_create returns NULL
+    // and the Python fallback takes over.
+    static constexpr u32 MAX_DEPTH = 30000;
+
+    Group* group_of(const u32* links, const float* nodes6, u32 v,
+                    u32 depth = 0)
     {
         Group* g = new_group();
+        if (depth > MAX_DEPTH) { g->payload = -2; return g; }
         const float* n6 = nodes6 + (size_t)v * 6;
         for (int i = 0; i < 3; i++) { g->bmin[i] = n6[i]; g->bmax[i] = n6[3 + i]; }
         u32 accept = links[2 * (size_t)v], cancel = links[2 * (size_t)v + 1];
@@ -148,7 +158,7 @@ struct Builder
         u32 c = accept;
         size_t guard = 0;
         while (true) {
-            Group* ch = group_of(links, nodes6, c);
+            Group* ch = group_of(links, nodes6, c, depth + 1);
             // corrupt link tables must fail cleanly, not spin (the Python
             // twin raises "cyclic link chain"); payload -2 marks the
             // corruption and propagates to the root, where the create

@@ -494,12 +494,16 @@ class WideStaticRegion:
         b = WideBuilder(leaf_bundle=leaf_bundle, layout=layout)
         leaf_cache: dict = {}
 
-        def mesh_leaf_chain(mesh, prims):
+        def mesh_leaf_chain(mesh, blas_key, prims):
             # canonical (sorted) order so all 8 octants share one chain;
             # within a bundle only exact-t ties could observe the order
-            # (see module docstring)
+            # (see module docstring). Scoped per (mesh, BLAS) pair to
+            # match the native builder, whose cache lives for one
+            # pt_wide_tree_create call (one BLAS) — keeps the
+            # byte-identity contract even if one mesh ever backed two
+            # distinct BLAS entries.
             prims = sorted(prims)
-            key = (mesh.index_offset, tuple(prims))
+            key = (mesh.index_offset, blas_key, tuple(prims))
             if key not in leaf_cache:
                 def tri9(p):
                     tri = indices[
@@ -521,8 +525,8 @@ class WideStaticRegion:
                     blas.node_offset : blas.node_offset + blas.node_count
                 ]
 
-                def leaf_target(prims, group, mesh=mesh):
-                    return mesh_leaf_chain(mesh, prims)
+                def leaf_target(prims, group, mesh=mesh, blas_key=key):
+                    return mesh_leaf_chain(mesh, blas_key, prims)
 
                 rid = b.build_wide_tree(links, n6, 0, leaf_target, END_BLAS)
                 cursors[o] = layout.make_cursor(KIND_WIDE, rid)
@@ -589,6 +593,16 @@ def build_frame_tail(
         if key not in seen and tl.node_count > 0:
             seen.add(key)
             tlas_keys.append(key)
+
+    # tail indexing is root_by_off[off - root_base]: an offset below
+    # root_base (a subframe TLAS sitting inside the static node region)
+    # would wrap to a wrong row silently — fail loudly instead
+    for off, _ in tlas_keys:
+        if off < root_base:
+            raise ValueError(
+                f"subframe TLAS node_offset {off} < static root_base "
+                f"{root_base}; frame-tail invariant violated"
+            )
 
     root_by_off = np.full((max_off - root_base + 1, 8), END_TLAS, u32)
 

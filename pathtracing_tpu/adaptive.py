@@ -112,7 +112,7 @@ def _stats_pass(config, scene, xs, ys, spp, tile_pixels, wavefront):
         lum2 = np.zeros(n, np.float32)
         # same dispatch wall-clock cap as render_pixels (a single
         # multi-minute dispatch gets the TPU worker killed)
-        chunk = _mk_spp_chunk(n, spp, scene)
+        chunk = _mk_spp_chunk(n, spp, scene, bytes_per_pixel=16)
         for a in range(0, spp, chunk):
             c = min(chunk, spp - a)
             r, g, b, l2 = _render_frame_stats_megakernel(

@@ -486,6 +486,7 @@ def path_trace_megakernel(
     service_div: int | None = None,
     pixel_base=0,
     with_stats: bool = False,
+    return_truncated: bool = False,
 ):
     """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
     for pixels [pixel_base, pixel_base + n_pixels) of a
@@ -668,9 +669,17 @@ def path_trace_megakernel(
     # the accumulator planes are already per-pixel sums (folded on the fly
     # by the death-time scatter-add)
     acc = Vec3(final.acc_r, final.acc_g, final.acc_b)
-    if with_stats:
-        return acc, final.acc_l2
-    return acc
+    # Cap-hit indicator: lanes still live at exit were abandoned by the
+    # max_periods safety bound — their unfolded samples silently darken
+    # their pixels, so callers must be able to detect it (render.render_pixels
+    # raises; see also the bit-identical-across-knobs contract in tuning.py).
+    n_truncated = jnp.count_nonzero(jnp.logical_not(final.lane_done)).astype(
+        jnp.int32
+    )
+    out = (acc, final.acc_l2) if with_stats else (acc,)
+    if return_truncated:
+        out = out + (n_truncated,)
+    return out if len(out) > 1 else out[0]
 
 
 # Service fires when due lanes are at least 1/SERVICE_DIV of the live set.

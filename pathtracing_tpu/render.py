@@ -42,11 +42,12 @@ def _render_frame_megakernel(
     the whole frame — no per-bounce drains, no compaction permutes."""
     from pathtracing_tpu.ops.megakernel import path_trace_megakernel
 
-    acc = path_trace_megakernel(
+    acc, n_truncated = path_trace_megakernel(
         config, scene, n_pixels, spp, sample_base, lanes=lanes,
         leaf_every=leaf_every, service_div=service_div,
+        return_truncated=True,
     )
-    return acc.x, acc.y, acc.z
+    return acc.x, acc.y, acc.z, n_truncated
 
 
 def megakernel_supported(scene, xs, ys, width: int) -> bool:
@@ -86,10 +87,14 @@ DEFAULT_MK_DISPATCH_SAMPLES = 32 << 20
 DEFAULT_MK_DISPATCH_SAMPLES_LARGE = 4 << 20
 
 
-def _mk_spp_chunk(n_pixels: int, spp: int, scene=None) -> int:
+def _mk_spp_chunk(
+    n_pixels: int, spp: int, scene=None, bytes_per_pixel: int = 12
+) -> int:
     """Largest per-dispatch spp within the memory + wall-clock budgets;
     prefers a divisor of spp so every dispatch reuses ONE compiled
-    kernel."""
+    kernel. ``bytes_per_pixel`` is the accumulator footprint: 12 for the
+    3 f32 radiance planes, 16 when the with_stats fold carries the 4th
+    acc_l2 plane (adaptive._stats_pass)."""
     import os
 
     default_cap = DEFAULT_MK_DISPATCH_SAMPLES
@@ -100,7 +105,9 @@ def _mk_spp_chunk(n_pixels: int, spp: int, scene=None) -> int:
             default_cap = DEFAULT_MK_DISPATCH_SAMPLES_LARGE
     budget = int(os.environ.get("PT_MK_ACC_MB", DEFAULT_MK_ACC_MB)) << 20
     cap = int(os.environ.get("PT_MK_DISPATCH_SAMPLES", default_cap))
-    limit = max(1, min(budget // (n_pixels * 12), cap // n_pixels))
+    limit = max(
+        1, min(budget // (n_pixels * bytes_per_pixel), cap // n_pixels)
+    )
     if spp <= limit:
         return spp
     for c in range(limit, 0, -1):
@@ -255,13 +262,19 @@ def render_pixels(
         chunk = _mk_spp_chunk(n, spp, scene)
         for a in range(0, spp, chunk):
             c = min(chunk, spp - a)
-            r, g, b = _render_frame_megakernel(
+            r, g, b, n_trunc = _render_frame_megakernel(
                 config, scene, n, c,
                 jnp.int32(int(sample_base) + a), lanes, leaf, sdiv
             )
             out[:, 0] += np.asarray(r)[:n]
             out[:, 1] += np.asarray(g)[:n]
             out[:, 2] += np.asarray(b)[:n]
+            if int(n_trunc):
+                raise RuntimeError(
+                    f"megakernel safety cap abandoned {int(n_trunc)} "
+                    f"lanes (samples [{int(sample_base)+a}, "
+                    f"{int(sample_base)+a+c})): output would be darkened"
+                )
         if average:
             return out / np.float32(spp)
         return out

@@ -10,7 +10,10 @@ floor and the kind split sizes the fat-row levers: a 16-ary interior
 cuts WIDE steps ~25%, an 8-triangle leaf row cuts LEAF steps ~50%.
 
 Usage: python tools/mk_stats.py [--pixels N] [--spp N] [--lanes N]
-(defaults: full 640x360 frame, spp 1, lanes 32768)
+                                [--scene golden|full] [--frame N]
+(defaults: golden scene, full 640x360 frame, spp 1, lanes 32768;
+--scene full loads the animated forest scene at --frame via the same
+loader + DevicePacker(wide) path the frame loop uses)
 """
 import sys
 import time
@@ -30,9 +33,10 @@ import numpy as np
 def main():
     args = sys.argv[1:]
     opt = {"--pixels": 640 * 360, "--spp": 1, "--lanes": 32768,
-           "--leaf": 4, "--service": 8}
+           "--leaf": 4, "--service": 8, "--scene": "golden", "--frame": 0}
     for i in range(0, len(args), 2):
-        opt[args[i]] = int(args[i + 1])
+        v = args[i + 1]
+        opt[args[i]] = v if args[i] == "--scene" else int(v)
     n_pixels, spp, lanes = opt["--pixels"], opt["--spp"], opt["--lanes"]
     sdiv = opt["--service"]
 
@@ -47,13 +51,29 @@ def main():
         _wide_cheap_step,
         _wide_step,
     )
-    from pathtracing_tpu.utils.goldenio import load_golden
-    from golden_scene import scene_device_from_golden
 
-    scene = scene_device_from_golden(
-        load_golden(str(_REPO / "tests" / "golden" / "scene.gold")),
-        wide=True,
-    )
+    if opt["--scene"] == "full":
+        from pathtracing_tpu.scene.device import DevicePacker
+        from pathtracing_tpu.scene.loader import (
+            load_scene,
+            setup_animation_frame,
+        )
+
+        t0 = time.perf_counter()
+        host = load_scene(config=TESTING)
+        packer = DevicePacker(host, wide=True)
+        setup_animation_frame(host, opt["--frame"], TESTING)
+        scene = packer.pack_frame(host)
+        print(f"full scene frame {opt['--frame']} loaded+packed "
+              f"({time.perf_counter()-t0:.0f}s)", flush=True)
+    else:
+        from pathtracing_tpu.utils.goldenio import load_golden
+        from golden_scene import scene_device_from_golden
+
+        scene = scene_device_from_golden(
+            load_golden(str(_REPO / "tests" / "golden" / "scene.gold")),
+            wide=True,
+        )
 
     leaf_every = opt["--leaf"]
 
