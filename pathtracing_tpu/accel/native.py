@@ -148,6 +148,12 @@ def get_wide_lib():
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint32,
         ]
+        lib.pt_wide_subtree_create.restype = ctypes.c_void_p
+        lib.pt_wide_subtree_create.argtypes = [
+            u32p, f32p, ctypes.c_uint32, f32p, u32p,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, u32p,
+        ]
         lib.pt_wide_rows_count.restype = ctypes.c_int64
         lib.pt_wide_rows_count.argtypes = [ctypes.c_void_p]
         lib.pt_wide_copy.restype = None
@@ -168,8 +174,14 @@ def build_wide_tree_native(
     leaf_tris: int,
     base_row: int,
     exit_sentinel: int,
+    root_node: int = 0,
+    exit8: np.ndarray | None = None,   # (8,) u32 per-octant exit cursors
 ):
-    """8-octant wide trees (+ leaf chains) for one binary BVH.
+    """8-octant wide trees (+ leaf chains) for one binary BVH (or the
+    subtree rooted at ``root_node`` — the chunked static region emits one
+    wide tree per chunk, accel/chunks.py). ``exit8`` overrides
+    ``exit_sentinel`` per octant so dynamic TLAS trees can chain into the
+    static TLAS root of the same octant.
 
     Returns (rows (K, w_row) f32, root8 (8,) u32) or None when the native
     library is unavailable. Byte-identical to the Python WideBuilder
@@ -191,10 +203,14 @@ def build_wide_tree_native(
     if payload_cursor is not None:
         payload_cursor = np.ascontiguousarray(payload_cursor, np.uint32)
         pc_p = payload_cursor.ctypes.data_as(u32p)
-    h = lib.pt_wide_tree_create(
+    e8_p = None
+    if exit8 is not None:
+        exit8 = np.ascontiguousarray(exit8, np.uint32)
+        e8_p = exit8.ctypes.data_as(u32p)
+    h = lib.pt_wide_subtree_create(
         links.ctypes.data_as(u32p), nodes6.ctypes.data_as(f32p), n,
         tri9_p, pc_p, leaf_bundle, n_slots, leaf_tris, base_row,
-        np.uint32(exit_sentinel),
+        np.uint32(exit_sentinel), np.uint32(root_node), e8_p,
     )
     if not h:
         return None

@@ -343,13 +343,18 @@ extern "C" {
 // tri9: (T, 9) f32 mesh-local vertices (BLAS mode); payload_cursor:
 // (P,) u32 payload->cursor map (TLAS mode; disables bundling). exit_sentinel
 // = END_BLAS / END_TLAS. Returns an opaque handle (NULL on error).
-void* pt_wide_tree_create(
+// Generalization for the chunked static region (accel/chunks.py):
+// root_node picks the binary subtree to emit (0 = whole tree) and exit8,
+// when non-null, gives a PER-OCTANT exit cursor — the dynamic per-frame
+// TLAS trees chain into the load-time static TLAS root of the same octant
+// instead of terminating at END_TLAS.
+void* pt_wide_subtree_create(
     const u32* links, const float* nodes6, u32 n,
     const float* tri9, const u32* payload_cursor,
     u32 leaf_bundle, u32 n_slots, u32 leaf_tris,
-    u32 base_row, u32 exit_sentinel)
+    u32 base_row, u32 exit_sentinel, u32 root_node, const u32* exit8)
 {
-    if (n == 0) return nullptr;
+    if (n == 0 || root_node >= n) return nullptr;
     auto* h = new Handle();
     h->b.lay = Layout::make(n_slots, leaf_tris);
     h->b.leaf_bundle = payload_cursor ? 0 : leaf_bundle;
@@ -359,14 +364,26 @@ void* pt_wide_tree_create(
     h->b.n_nodes = n;
     for (int o = 0; o < 8; o++) {
         const u32* olinks = links + (size_t)o * n * 2;
-        Group* root = h->b.group_of(olinks, nodes6, 0);
+        Group* root = h->b.group_of(olinks, nodes6, root_node);
         if (root->payload == -2) { delete h; return nullptr; }  // corrupt links
-        u32 rid = h->b.emit_wide(root, exit_sentinel);
+        u32 exit_cursor = exit8 ? exit8[o] : exit_sentinel;
+        u32 rid = h->b.emit_wide(root, exit_cursor);
         h->root8[o] = h->b.lay.cursor(KIND_WIDE, rid);
         h->b.arena.clear();
     }
     h->b.finalize();
     return h;
+}
+
+void* pt_wide_tree_create(
+    const u32* links, const float* nodes6, u32 n,
+    const float* tri9, const u32* payload_cursor,
+    u32 leaf_bundle, u32 n_slots, u32 leaf_tris,
+    u32 base_row, u32 exit_sentinel)
+{
+    return pt_wide_subtree_create(
+        links, nodes6, n, tri9, payload_cursor, leaf_bundle, n_slots,
+        leaf_tris, base_row, exit_sentinel, 0, nullptr);
 }
 
 int64_t pt_wide_rows_count(void* handle)

@@ -367,7 +367,7 @@ class DevicePacker:
     _INST_BUCKET = 8       # instance rows
 
     def __init__(self, scene, wide: bool = False, leaf_bundle: int | None = 8,
-                 wide_layout="w8"):
+                 wide_layout="w8", chunk_max: int | None = None):
         mesh_arrays = scene.mesh_buf.arrays()
         indices, pos, normal, albedo, material = mesh_arrays
         blas_segments = [
@@ -394,17 +394,36 @@ class DevicePacker:
         self._vattr = jnp.asarray(pack_vattr(normal, albedo, material))
 
         self._wide_static = None
+        self._chunked = False
         if wide:
-            from pathtracing_tpu.accel.wide import WideStaticRegion
+            if chunk_max:
+                # Chunked fast path (accel/chunks.py): instance-split
+                # static TLAS built once here; per-frame tails carry only
+                # the dynamic instances. Traversal format is identical.
+                from pathtracing_tpu.accel.chunks import ChunkedStaticRegion
 
-            self._wide_static = WideStaticRegion(
-                mesh_arrays,
-                scene.bvh_buf.nodes[:n],
-                scene.bvh_buf.links[: 8 * n],
-                list(scene.meshes.values()),
-                leaf_bundle=leaf_bundle,
-                layout=_wide_layout(wide_layout),
-            )
+                self._wide_static = ChunkedStaticRegion(
+                    mesh_arrays,
+                    scene.bvh_buf.nodes[:n],
+                    scene.bvh_buf.links[: 8 * n],
+                    list(scene.meshes.values()),
+                    scene.instances[: scene.static_instance_count],
+                    leaf_bundle=leaf_bundle,
+                    layout=_wide_layout(wide_layout),
+                    chunk_max=chunk_max,
+                )
+                self._chunked = True
+            else:
+                from pathtracing_tpu.accel.wide import WideStaticRegion
+
+                self._wide_static = WideStaticRegion(
+                    mesh_arrays,
+                    scene.bvh_buf.nodes[:n],
+                    scene.bvh_buf.links[: 8 * n],
+                    list(scene.meshes.values()),
+                    leaf_bundle=leaf_bundle,
+                    layout=_wide_layout(wide_layout),
+                )
             self._wide_static_dev = jnp.asarray(self._wide_static.rows)
             self._tri_shade = jnp.asarray(
                 pack_tri_shade(indices, pos, normal, albedo, material, meshes)
@@ -463,10 +482,22 @@ class DevicePacker:
         if self._wide_static is not None:
             from pathtracing_tpu.accel.wide import END_TLAS, build_frame_tail
 
-            tail_rows, root_by_off = build_frame_tail(
-                self._wide_static, nodes, links, scene.instances,
-                scene.subframes, root_base=n_static,
-            )
+            if self._chunked:
+                from pathtracing_tpu.accel.chunks import (
+                    build_frame_tail_chunked,
+                )
+
+                tail_rows, root_by_off = build_frame_tail_chunked(
+                    self._wide_static, scene.instances, scene.subframes,
+                    scene.subframe_entries,
+                    (scene.static_instance_count, scene.frame_static_end),
+                    scene.static_instance_count, root_base=n_static,
+                )
+            else:
+                tail_rows, root_by_off = build_frame_tail(
+                    self._wide_static, nodes, links, scene.instances,
+                    scene.subframes, root_base=n_static,
+                )
             cap = self._bucket(len(tail_rows), self._WIDE_BUCKET)
             if len(tail_rows) < cap:
                 tail_rows = np.concatenate(

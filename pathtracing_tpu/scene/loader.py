@@ -462,3 +462,6 @@ def setup_animation_frame(
         s.bvh_buf.nodes = np.concatenate([s.bvh_buf.nodes, local.nodes])
         s.bvh_buf.links = np.concatenate([s.bvh_buf.links, local.links])
         s.subframes.append(Subframe(handle, cams[i], lights[i]))
+
+    s.subframe_entries = entries
+    s.frame_static_end = static_end

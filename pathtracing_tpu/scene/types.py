@@ -69,3 +69,10 @@ class Scene:
     instances: list = dataclasses.field(default_factory=list)
     static_instance_count: int = 0
     subframes: list = dataclasses.field(default_factory=list)
+    # per-frame bookkeeping mirrored from the reference's subframe_entries
+    # (scene.cc:651-676), consumed by the chunked packer
+    # (accel/chunks.build_frame_tail_chunked): absolute instance id ranges
+    # of each subframe's dynamic additions, and the frame-static span
+    # (logo/buddha) shared by every subframe.
+    subframe_entries: list = dataclasses.field(default_factory=list)
+    frame_static_end: int = 0

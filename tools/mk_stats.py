@@ -33,7 +33,8 @@ import numpy as np
 def main():
     args = sys.argv[1:]
     opt = {"--pixels": 640 * 360, "--spp": 1, "--lanes": 32768,
-           "--leaf": 4, "--service": 8, "--scene": "golden", "--frame": 0}
+           "--leaf": 4, "--service": 8, "--scene": "golden", "--frame": 0,
+           "--chunk": 0}
     for i in range(0, len(args), 2):
         v = args[i + 1]
         opt[args[i]] = v if args[i] == "--scene" else int(v)
@@ -61,11 +62,14 @@ def main():
 
         t0 = time.perf_counter()
         host = load_scene(config=TESTING)
-        packer = DevicePacker(host, wide=True)
+        packer = DevicePacker(
+            host, wide=True, chunk_max=opt["--chunk"] or None
+        )
         setup_animation_frame(host, opt["--frame"], TESTING)
         scene = packer.pack_frame(host)
         print(f"full scene frame {opt['--frame']} loaded+packed "
-              f"({time.perf_counter()-t0:.0f}s)", flush=True)
+              f"({time.perf_counter()-t0:.0f}s, chunk={opt['--chunk']})",
+              flush=True)
     else:
         from pathtracing_tpu.utils.goldenio import load_golden
         from golden_scene import scene_device_from_golden
