@@ -77,3 +77,46 @@ def make_render_grad_fn(
         )
 
     return fn
+
+
+def make_fast_grad_fn(
+    config: RenderConfig,
+    fields: Sequence[str] = DIFFERENTIABLE_FIELDS,
+    loss_fn: Callable[[Vec3], jnp.ndarray] | None = None,
+):
+    """Record/replay gradients: the fast-path two-pass protocol.
+
+    Pass 1 (no AD) runs the forward with the FAST traversal (the wide
+    mega-table walk when the scene has wide tables) and records the hit
+    topology per bounce. Pass 2 differentiates a REPLAY of the identical
+    radiance computation in which every ray_query is replaced by a record
+    lookup. Traversal already sat under stop_gradient in the slow path
+    (fixed-topology gradient model, module docstring), so the gradients
+    are identical — but the AD graph now contains no traversal at all:
+    no per-step gathers, no while_loop transpose, and jax.checkpoint-free
+    memory linear in bounces. Returns a jitted
+    (scene, xs, ys, sample_indices) -> (loss, grads) like
+    make_render_grad_fn.
+    """
+    if loss_fn is None:
+        def loss_fn(c):
+            return jnp.mean(0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z)
+
+    @jax.jit
+    def fn(scene, xs, ys, sample_indices):
+        sg = jax.tree.map(jax.lax.stop_gradient, scene)
+        _, records = path_trace_samples(
+            config, sg, xs, ys, sample_indices, record=True
+        )
+
+        def forward(params):
+            s = scene._replace(**params)
+            c = path_trace_samples(
+                config, s, xs, ys, sample_indices, replay=records
+            )
+            return loss_fn(c)
+
+        params = {f: getattr(scene, f) for f in fields}
+        return jax.value_and_grad(forward)(params)
+
+    return fn

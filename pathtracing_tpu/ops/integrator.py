@@ -339,6 +339,8 @@ def path_trace_samples(
     ys: Array,
     sample_index: Array,
     query_shade=None,
+    record: bool = False,
+    replay=None,
 ) -> Vec3:
     """One radiance sample per lane (reference: path_tracer.hh:637-741).
 
@@ -352,6 +354,18 @@ def path_trace_samples(
     device; parallel/geomshard.py supplies a version that traces
     shard-local geometry and combines the per-shard closest hits with mesh
     collectives (pmin/psum).
+
+    record/replay: the fast-gradient two-pass protocol (diff/render.py).
+    record=True additionally returns the per-bounce hit topology
+    (primary_rec, bounce_recs) — each a dict of (R,) / (B, R) arrays with
+    the hit ids, back-face bits and shadow occlusion. replay=<records>
+    re-runs the SAME radiance computation with every BVH traversal
+    replaced by a lookup into those records: traversal was already under
+    stop_gradient (fixed-topology gradient model), so differentiating the
+    replay gives identical gradients while the AD graph contains zero
+    traversal gathers. Shading, RNG threading and the conditional
+    atmosphere draws are recomputed bit-identically (the atmosphere
+    predicate reads the re-derived thit in both passes).
     """
     # Area-light NEE (ops/arealights.py) auto-enables when the scene was
     # packed with emissive_nee=True. Opt-in: it inserts one extra rand4 draw
@@ -363,17 +377,55 @@ def path_trace_samples(
             "area-light NEE is not supported under a query_shade override "
             "(geometry sharding packs shard scenes without light tables)"
         )
+    if (record or replay is not None) and (query_shade or use_lights):
+        raise NotImplementedError(
+            "record/replay gradients support the default sun-NEE trace only"
+        )
+
+    from pathtracing_tpu.ops.traversal import RayHit
+
+    def _rec_of(hit, occluded):
+        return {
+            "hit": hit.thit >= 0,
+            "inst": hit.inst,
+            "prim": hit.prim,
+            "back": hit.back,
+            "occ": occluded,
+        }
+
+    def _hit_of(rec):
+        one = jnp.ones_like(rec["inst"], jnp.float32)
+        return RayHit(
+            thit=jnp.where(rec["hit"], one, -one),
+            bary_u=0.0 * one, bary_v=0.0 * one, bary_w=one,
+            inst=rec["inst"],
+            prim=rec["prim"],
+            back=rec["back"],
+        )
 
     seed, subframe, light, tlas_count, tlas_offset, ray_o, ray_dir = (
         camera_sample(config, scene, xs, ys, sample_index)
     )
 
     all_active = jnp.ones_like(xs, dtype=bool)
-    if query_shade is None:
-        info = trace_ray(
-            scene, light, tlas_count, tlas_offset, ray_o, ray_dir, 0.0,
-            all_active,
+    prim_rec = None
+    if replay is not None:
+        info = shade_hit(
+            scene, light, _hit_of(replay[0]), ray_o, ray_dir
         )
+    elif query_shade is None:
+        if record:
+            phit, _ = ray_query(
+                scene, tlas_count, tlas_offset, ray_o, ray_dir, 0.0, 1e9,
+                all_active,
+            )
+            prim_rec = _rec_of(phit, jnp.zeros_like(all_active))
+            info = shade_hit(scene, light, phit, ray_o, ray_dir)
+        else:
+            info = trace_ray(
+                scene, light, tlas_count, tlas_offset, ray_o, ray_dir, 0.0,
+                all_active,
+            )
     else:
         _, info = query_shade(
             scene, light, tlas_count, tlas_offset, ray_o, ray_dir,
@@ -394,7 +446,7 @@ def path_trace_samples(
     roughness = info.roughness
     active = all_active
 
-    def bounce_body(carry, _):
+    def bounce_body(carry, xs_in):
         (seed, info, roughness, attenuation, contribution, regularization,
          ray_dir, ray_o, active) = carry
         active = active & (info.thit > 0)
@@ -465,6 +517,10 @@ def path_trace_samples(
                 * arealights.area_nee_color(area, occ3[R : 2 * R], active),
                 Vec3(zero, zero, zero),
             )
+        elif replay is not None:
+            occluded = xs_in["occ"]
+            bounce_hit = _hit_of(xs_in)
+            info = shade_hit(scene, light, bounce_hit, ray_o, ray_dir)
         else:
             cat = lambda a, b: jnp.concatenate([a, b])
             cat3 = lambda a, b: Vec3(cat(a.x, b.x), cat(a.y, b.y), cat(a.z, b.z))
@@ -565,7 +621,7 @@ def path_trace_samples(
         return (
             seed, info, roughness, attenuation, contribution, regularization,
             ray_dir, ray_o, active,
-        ), None
+        ), (_rec_of(bounce_hit, occluded) if record else None)
 
     # One compiled bounce body scanned max_bounces times (identical
     # structure per bounce; cuts compile time vs unrolling).
@@ -573,9 +629,13 @@ def path_trace_samples(
         seed, info, roughness, attenuation, contribution, regularization,
         ray_dir, ray_o, active,
     )
-    carry, _ = jax.lax.scan(
-        bounce_body, carry, None, length=config.max_bounces
+    carry, recs = jax.lax.scan(
+        bounce_body, carry,
+        replay[1] if replay is not None else None,
+        length=config.max_bounces,
     )
     contribution = carry[4]
 
+    if record:
+        return contribution, (prim_rec, recs)
     return contribution

@@ -88,6 +88,45 @@ def worker(args) -> int:
         )(ones)
         assert float(total) == len(jax.devices())
 
+    if args.mode == "sharded":
+        # COMMUNICATING decomposition: every process renders the SAME
+        # pixels with a disjoint sample range; the per-frame radiance is
+        # psum-reduced over the ``samples`` mesh axis (the renderer's
+        # gradient-accumulation-style all-reduce, parallel/sharding.py).
+        # Fixed total work per frame, so ideal wall = t1 / N.
+        from jax.sharding import PartitionSpec
+        from pathtracing_tpu.parallel.sharding import make_sharded_render
+
+        N = len(jax.devices())
+        smesh = Mesh(
+            np.array(jax.devices()).reshape(1, N), ("tiles", "samples")
+        )
+        assert args.spp % N == 0, (args.spp, N)
+        fn = make_sharded_render(config, smesh, args.spp)
+        npix = w * h
+        xs_np = (np.arange(npix, dtype=np.int32) % w)
+        ys_np = (np.arange(npix, dtype=np.int32) // w)
+        sh = NamedSharding(smesh, PartitionSpec("tiles"))
+        xs_g = jax.make_array_from_process_local_data(sh, xs_np, (npix,))
+        ys_g = jax.make_array_from_process_local_data(sh, ys_np, (npix,))
+        scene_dev = jax.tree.map(jnp.asarray, scene)
+        r, _, _ = fn(scene_dev, xs_g, ys_g)  # warmup/compile (untimed)
+        jax.block_until_ready(r)
+        barrier()
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(int(args.frames)):
+            r, g, b = fn(scene_dev, xs_g, ys_g)
+            acc += float(jnp.sum(r[:1]))  # force a host fetch per frame
+        dt = time.perf_counter() - t0
+        barrier()
+        print(
+            f"SCALING host={args.process_id} frames={args.frames} "
+            f"render_s={dt:.3f}",
+            flush=True,
+        )
+        return 0
+
     render_frame(config, scene)  # warmup/compile (untimed)
     barrier()
     mine = frames_for_host(0, int(args.frames))
@@ -132,7 +171,8 @@ def run_point(processes: int, args) -> dict:
              "--processes", str(processes),
              "--process-id", str(pid),
              "--frames", str(args.frames),
-             "--size", args.size, "--spp", str(args.spp)],
+             "--size", args.size, "--spp", str(args.spp),
+             "--mode", args.mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         ))
     outs = [p.communicate(timeout=args.timeout)[0] for p in procs]
@@ -163,6 +203,12 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--size", default="160x90")
     ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument(
+        "--mode", choices=("frames", "sharded"), default="frames",
+        help="frames = frame-parallel (no communication); sharded = "
+        "the communicating samples-axis psum decomposition "
+        "(parallel/sharding.make_sharded_render)",
+    )
     ap.add_argument("--timeout", type=int, default=1800)
     ap.add_argument("--json", default=None)
     # worker-mode internals
