@@ -313,6 +313,18 @@ def make_geom_sharded_render(
     """
     query_shade = make_geom_query_shade(axis_name)
 
+    def _check_no_lights(scene_stacked):
+        # fail at the API boundary, not from inside the bounce scan
+        # (ops/integrator.py would raise the same complaint mid-trace):
+        # shard scenes are packed without light tables, so area-light NEE
+        # and geometry sharding cannot compose yet
+        if getattr(scene_stacked, "lt_tris", None) is not None:
+            raise NotImplementedError(
+                "geometry sharding does not support area-light NEE scenes "
+                "(pack the scene without emissive_nee, or render on the "
+                "replicated-geometry path)"
+            )
+
     def local_render(scene_stacked, xs, ys):
         scene = jax.tree.map(lambda a: a[0], scene_stacked)
 
@@ -345,4 +357,10 @@ def make_geom_sharded_render(
         out_specs=(P(tile_axis),) * 3,
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+
+    def guarded(scene_stacked, xs, ys):
+        _check_no_lights(scene_stacked)
+        return jitted(scene_stacked, xs, ys)
+
+    return guarded

@@ -93,3 +93,21 @@ def test_camera_sample_preserves_rng_stream(scene):
     s, _ = rng.uniform4(s)
     for a, b in zip(seed_out, s):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_aov_wide_tables_match_binary(golden_dir):
+    """AOVs ride the fast path when wide tables exist (ray_query
+    auto-dispatches to the wide walk) and match the binary walk exactly —
+    the VERDICT r3 ask that AOV primaries not bypass the fast path."""
+    s_bin = scene_device_from_golden(load_golden(str(golden_dir / "scene.gold")))
+    s_wide = scene_device_from_golden(
+        load_golden(str(golden_dir / "scene.gold")), wide=True
+    )
+    assert getattr(s_wide, "wide_rows", None) is not None
+    xs, ys = _grid()
+    a = render_aovs(TESTING, s_bin, xs, ys, spp=2, tile_pixels=len(xs))
+    b = render_aovs(TESTING, s_wide, xs, ys, spp=2, tile_pixels=len(xs))
+    for k in a:
+        np.testing.assert_array_equal(
+            np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+        )
