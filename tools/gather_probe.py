@@ -130,6 +130,8 @@ def main():
     ap.add_argument("--reps", type=int, default=64)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--no-windows", action="store_true")
     args = ap.parse_args()
 
     N, W, R = args.rows, args.width, args.lanes
@@ -142,19 +144,33 @@ def main():
     def xla_gather(t, i):
         return jnp.take(t, i, axis=0)
 
+    idx_indep = jnp.asarray(
+        rng.integers(0, N, (args.reps, R)), jnp.int32
+    )
+
+    def indep(table, idx_rows):
+        def body(acc, idx):
+            rows = xla_gather(table, idx)
+            return acc + rows[:, 0].sum(), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), idx_rows)
+        return acc
+
     harnesses = {
         "xla": jax.jit(
             functools.partial(chain, xla_gather, table, idx0, args.reps, N)
         ),
-        f"pallas_dma_k{args.k}": jax.jit(
+        "xla_indep": jax.jit(functools.partial(indep, table, idx_indep)),
+    }
+    if not args.no_pallas:
+        harnesses[f"pallas_dma_k{args.k}"] = jax.jit(
             functools.partial(
                 chain,
                 functools.partial(pallas_gather, k=args.k),
                 table, idx0, args.reps, N,
             )
-        ),
-    }
-    for window in (4096, 16384, 65536):
+        )
+    for window in () if args.no_windows else (4096, 16384, 65536):
         if window >= N:
             continue
         deltas = jnp.asarray(rng.integers(0, window, R), jnp.int32)
