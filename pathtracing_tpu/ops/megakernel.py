@@ -175,7 +175,8 @@ def _launch(scene, s: _MkState, mask, org: Vec3, d: Vec3, tmin, tmax0,
 
 
 def _service(config: RenderConfig, scene, s: _MkState, spp,
-             sample_base, n_pixels, pixel_base=0, with_stats=False):
+             sample_base, n_pixels, pixel_base=0, with_stats=False,
+             pixel_order=None):
     """Shade/chain/respawn for lanes whose ray has finished."""
     R = s.bounce_i.shape
     zero = jnp.zeros(R, jnp.float32)
@@ -341,7 +342,11 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     n_items = n_pixels * spp
     # scatter-add the dead item's radiance into the per-pixel planes;
     # non-dying lanes target index n_pixels, which mode="drop" discards
-    dead_pix = jnp.where(died, s.item % n_pixels, n_pixels)
+    dead_slot = s.item % n_pixels
+    dead_local = (
+        dead_slot if pixel_order is None else pixel_order[dead_slot]
+    )
+    dead_pix = jnp.where(died, dead_local, n_pixels)
     acc_r = s.acc_r.at[dead_pix].add(cur.x, mode="drop")
     acc_g = s.acc_g.at[dead_pix].add(cur.y, mode="drop")
     acc_b = s.acc_b.at[dead_pix].add(cur.z, mode="drop")
@@ -367,7 +372,10 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     lane_done = s.lane_done | (item >= n_items)
     rs = died & jnp.logical_not(lane_done)
     item_c = jnp.minimum(item, n_items - 1)
-    pixel = pixel_base + item_c % n_pixels
+    slot_c = item_c % n_pixels
+    pixel = pixel_base + (
+        slot_c if pixel_order is None else pixel_order[slot_c]
+    )
     sample_i = item_c // n_pixels
     W_ = config.image_width
     xs = pixel % W_
@@ -487,6 +495,7 @@ def path_trace_megakernel(
     pixel_base=0,
     with_stats: bool = False,
     return_truncated: bool = False,
+    pixel_order=None,
 ):
     """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
     for pixels [pixel_base, pixel_base + n_pixels) of a
@@ -496,6 +505,17 @@ def path_trace_megakernel(
     traced values — the sharded frame renderer passes per-device offsets
     (parallel/sharding.make_sharded_render_megakernel).
 
+    pixel_order: optional (n_pixels,) int32 permutation — item slot i
+    covers pixel pixel_order[i] instead of pixel i. A Morton-curve order
+    makes the ~R concurrently-live lanes a compact 2-D tile instead of a
+    dozen scanlines, which raises the duplicate-row rate of every
+    traversal gather (concurrent coherent rays walk the same tree-top
+    rows). Measured on the v5e (tools/step_probe.py): gathers whose lanes
+    hit the SAME row cost ~0.7 ns/lane vs ~60 ns for distinct rows, so
+    coherence is the whole cost model. Radiance is unchanged: seeds
+    depend only on (x, y, sample_index) and each pixel's samples stay
+    n_pixels items apart (same fold spacing).
+
     Requires wide tables (scene.wide_rows). Area-light tables (lt_*) are
     supported: lanes chain shade -> sun shadow -> area shadow -> bounce.
     """
@@ -504,7 +524,9 @@ def path_trace_megakernel(
     n_items = n_pixels * spp
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
     item0 = jnp.minimum(lane, n_items - 1)
-    pixel0 = pixel_base + item0 % n_pixels
+    slot0 = item0 % n_pixels
+    local0 = slot0 if pixel_order is None else pixel_order[slot0]
+    pixel0 = pixel_base + local0
     xs = pixel0 % config.image_width
     ys = pixel0 // config.image_width
     i32 = lambda v: jnp.full(R, v, jnp.int32)
@@ -656,7 +678,8 @@ def path_trace_megakernel(
         return jax.lax.cond(
             do_service,
             lambda st: _service(config, scene, st, spp, sample_base,
-                                n_pixels, pixel_base, with_stats),
+                                n_pixels, pixel_base, with_stats,
+                                pixel_order),
             lambda st: st,
             s,
         )
@@ -680,6 +703,28 @@ def path_trace_megakernel(
     if return_truncated:
         out = out + (n_truncated,)
     return out if len(out) > 1 else out[0]
+
+
+def morton_pixel_order(width: int, height: int):
+    """(W*H,) int32 pixel ids in Morton (Z-curve) order.
+
+    Feeding this as ``pixel_order`` makes concurrently-live lanes cover a
+    compact 2-D tile, maximizing duplicate-row traversal gathers (see
+    path_trace_megakernel docstring)."""
+    idx = np.arange(width * height, dtype=np.int64)
+    x = (idx % width).astype(np.uint64)
+    y = (idx // width).astype(np.uint64)
+
+    def spread(v):
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
+        return v
+
+    code = spread(x) | (spread(y) << np.uint64(1))
+    return np.argsort(code, kind="stable").astype(np.int32)
 
 
 # Service fires when due lanes are at least 1/SERVICE_DIV of the live set.

@@ -36,7 +36,7 @@ def _render_tile_wavefront(
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 5, 6, 7))
 def _render_frame_megakernel(
     config: RenderConfig, scene, n_pixels: int, spp: int, sample_base,
-    lanes: int, leaf_every: int, service_div: int,
+    lanes: int, leaf_every: int, service_div: int, pixel_order=None,
 ):
     """Persistent-lane megakernel (ops/megakernel.py): one while_loop renders
     the whole frame — no per-bounce drains, no compaction permutes."""
@@ -45,9 +45,26 @@ def _render_frame_megakernel(
     acc, n_truncated = path_trace_megakernel(
         config, scene, n_pixels, spp, sample_base, lanes=lanes,
         leaf_every=leaf_every, service_div=service_div,
-        return_truncated=True,
+        return_truncated=True, pixel_order=pixel_order,
     )
     return acc.x, acc.y, acc.z, n_truncated
+
+
+# Morton lane order: item slots cover the frame in Z-curve order so the
+# concurrently-live lanes form compact 2-D tiles (coherent rays ->
+# duplicate-row gathers, the dominant cost term — ops/megakernel.py
+# morton_pixel_order). PT_MK_MORTON=0 restores scanline order.
+@functools.lru_cache(maxsize=4)
+def _morton_order_cached(n_pixels: int, width: int):
+    import os
+
+    if os.environ.get("PT_MK_MORTON", "1") == "0":
+        return None
+    if n_pixels % width:
+        return None
+    from pathtracing_tpu.ops.megakernel import morton_pixel_order
+
+    return jnp.asarray(morton_pixel_order(width, n_pixels // width))
 
 
 def megakernel_supported(scene, xs, ys, width: int) -> bool:
@@ -260,11 +277,12 @@ def render_pixels(
         # sample_base is TRACED, so every equal-sized chunk reuses one
         # compiled kernel.
         chunk = _mk_spp_chunk(n, spp, scene)
+        order = _morton_order_cached(n, config.image_width)
         for a in range(0, spp, chunk):
             c = min(chunk, spp - a)
             r, g, b, n_trunc = _render_frame_megakernel(
                 config, scene, n, c,
-                jnp.int32(int(sample_base) + a), lanes, leaf, sdiv
+                jnp.int32(int(sample_base) + a), lanes, leaf, sdiv, order
             )
             out[:, 0] += np.asarray(r)[:n]
             out[:, 1] += np.asarray(g)[:n]

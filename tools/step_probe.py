@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Direct on-chip cost of the megakernel's traversal step.
+
+Loads the full scene at --frame, captures the megakernel's initial state
+(while-loop intercept, as tools/mk_stats.py), advances it to a
+steady-state mix with N warm steps, then times three fori_loops on the
+REAL state and tables (host-fetch timed, K large enough to clear the
+dispatch floor):
+
+  cheap   the production _wide_cheap_step (gather + slab + links + INST)
+  strip   gather-only step: cursor -> row gather -> next cursor derived
+          from the row bits with ~10 VPU ops — isolates the gather
+  vpu     the cheap step with the row REUSED from a fixed cached gather
+          (index 0) — isolates the VPU+carry cost
+
+cheap ~ strip  => gather-bound: row bytes/count are the only lever.
+cheap ~ vpu + strip => additive; attack the larger share.
+
+Usage: python tools/step_probe.py [--frame 900] [--lanes 8192]
+                                  [--steps 4000] [--chunk 1024] [--warm 600]
+"""
+import argparse
+import sys
+import time
+import pathlib
+
+_REPO = pathlib.Path(__file__).parent.parent
+sys.path.insert(0, str(_REPO))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frame", type=int, default=900)
+    ap.add_argument("--lanes", type=int, default=8192)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--warm", type=int, default=600)
+    ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pathtracing_tpu.config import TESTING
+    from pathtracing_tpu.ops import megakernel as mk
+    from pathtracing_tpu.ops.wide_traversal import _wide_cheap_step
+    from pathtracing_tpu.scene.device import DevicePacker
+    from pathtracing_tpu.scene.loader import load_scene, setup_animation_frame
+
+    t0 = time.perf_counter()
+    host = load_scene(config=TESTING)
+    packer = DevicePacker(host, wide=True, chunk_max=args.chunk or None)
+    setup_animation_frame(host, args.frame, TESTING)
+    scene = packer.pack_frame(host)
+    print(f"packed ({time.perf_counter()-t0:.0f}s) "
+          f"rows={scene.wide_rows.shape} backend={jax.default_backend()}",
+          flush=True)
+
+    n_pixels = TESTING.image_width * TESTING.image_height
+
+    trace = {}
+    real_while = jax.lax.while_loop
+    jax.lax.while_loop = lambda c, b, i: trace.setdefault("init", i) or i
+    try:
+        mk.path_trace_megakernel(
+            TESTING, scene, n_pixels, args.spp, 0, lanes=args.lanes,
+            leaf_every=4,
+        )
+    finally:
+        jax.lax.while_loop = real_while
+    state = trace["init"][0]
+    R = args.lanes
+
+    consts = mk._consts(state)
+    tmin = state.tmin
+
+    @jax.jit
+    def warm(s):
+        def body(i, s):
+            return s._replace(
+                trav=_wide_cheap_step(scene, s.trav, mk._consts(s), s.tmin)
+            )
+        return jax.lax.fori_loop(0, args.warm, body, s)
+
+    state = warm(state)
+    trav0 = state.trav
+    live = int(np.count_nonzero(~np.asarray(state.trav.done)))
+    print(f"steady state: {live}/{R} lanes traversing after {args.warm} "
+          f"warm steps", flush=True)
+
+    K = args.steps
+
+    @jax.jit
+    def run_cheap(tr):
+        def body(i, tr):
+            return _wide_cheap_step(scene, tr, consts, tmin)
+        tr = jax.lax.fori_loop(0, K, body, tr)
+        return tr.cursor.astype(jnp.uint32).sum() + tr.tmax.sum()
+
+    @jax.jit
+    def run_strip(tr):
+        # gather-only chain: the next cursor comes from the gathered row's
+        # bits (same dependency structure as the real step), everything
+        # else dropped
+        lay_mask = jnp.uint32((1 << 27) - 1)
+
+        def body(i, cur):
+            row = scene.wide_rows[
+                (cur >> jnp.uint32(3) & lay_mask).astype(jnp.int32)
+                % scene.wide_rows.shape[0]
+            ]
+            bits = jax.lax.bitcast_convert_type(row, jnp.uint32)
+            nxt = bits[:, 24] ^ (bits[:, 0] & jnp.uint32(7))
+            return nxt
+
+        cur = jax.lax.fori_loop(0, K, body, tr.cursor)
+        return cur.sum()
+
+    @jax.jit
+    def run_vpu(tr):
+        # the cheap step's full VPU body, but the gather index pinned to a
+        # single cached row (gather degenerates to a broadcast load)
+        def body(i, tr):
+            tr2 = tr._replace(cursor=jnp.zeros_like(tr.cursor))
+            out = _wide_cheap_step(scene, tr2, consts, tmin)
+            return out._replace(cursor=tr.cursor)
+        tr = jax.lax.fori_loop(0, K, body, tr)
+        return tr.tmax.sum()
+
+    for name, fn in [("cheap", run_cheap), ("strip", run_strip),
+                     ("vpu", run_vpu)]:
+        v = float(fn(trav0))  # compile + warm
+        ts = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            float(fn(trav0))
+            ts.append(time.perf_counter() - t0)
+        best = min(ts)
+        print(f"{name:6s}: {best:.3f}s for {K} steps x {R} lanes = "
+              f"{best/K*1e6:.1f} us/step = {best/K/R*1e9:.2f} ns/lane-step",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
