@@ -496,6 +496,7 @@ def path_trace_megakernel(
     with_stats: bool = False,
     return_truncated: bool = False,
     pixel_order=None,
+    return_periods: bool = False,
 ):
     """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
     for pixels [pixel_base, pixel_base + n_pixels) of a
@@ -688,7 +689,9 @@ def path_trace_megakernel(
         s, period = c
         return body(s), period + 1
 
-    final, _ = jax.lax.while_loop(cond, body_c, (state, jnp.int32(0)))
+    final, end_period = jax.lax.while_loop(
+        cond, body_c, (state, jnp.int32(0))
+    )
     # the accumulator planes are already per-pixel sums (folded on the fly
     # by the death-time scatter-add)
     acc = Vec3(final.acc_r, final.acc_g, final.acc_b)
@@ -702,6 +705,8 @@ def path_trace_megakernel(
     out = (acc, final.acc_l2) if with_stats else (acc,)
     if return_truncated:
         out = out + (n_truncated,)
+    if return_periods:
+        out = out + (end_period,)
     return out if len(out) > 1 else out[0]
 
 

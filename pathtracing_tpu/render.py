@@ -50,15 +50,17 @@ def _render_frame_megakernel(
     return acc.x, acc.y, acc.z, n_truncated
 
 
-# Morton lane order: item slots cover the frame in Z-curve order so the
-# concurrently-live lanes form compact 2-D tiles (coherent rays ->
-# duplicate-row gathers, the dominant cost term — ops/megakernel.py
-# morton_pixel_order). PT_MK_MORTON=0 restores scanline order.
+# Morton lane order (PT_MK_MORTON=1 to enable): item slots cover the
+# frame in Z-curve order. MEASURED 3.5x SLOWER on the v5e at frame 900
+# (0.046 vs 0.160 Msamples/s): heavily-duplicated gather indices
+# serialize (bank conflicts), they are not cached — the scanline order's
+# mild spread is already on the fast side of the gather engine. Kept for
+# re-evaluation on other topologies; default OFF.
 @functools.lru_cache(maxsize=4)
 def _morton_order_cached(n_pixels: int, width: int):
     import os
 
-    if os.environ.get("PT_MK_MORTON", "1") == "0":
+    if os.environ.get("PT_MK_MORTON", "0") == "0":
         return None
     if n_pixels % width:
         return None

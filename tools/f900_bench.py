@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--leaf", type=str, default="5")
     ap.add_argument("--service", type=str, default="4")
     ap.add_argument("--layout", type=str, default="w8")
+    ap.add_argument("--bundle", type=int, default=8)
     ap.add_argument("--dispatch", type=int, default=0)
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
@@ -50,7 +51,7 @@ def main():
     host = load_scene(config=TESTING)
     packer = DevicePacker(
         host, wide=True, chunk_max=args.chunk or None,
-        wide_layout=args.layout,
+        wide_layout=args.layout, leaf_bundle=args.bundle,
     )
     print(f"load+static: {time.perf_counter()-t0:.1f}s "
           f"(rows {packer._wide_static.rows.shape[0]}, chunk={args.chunk}, "
