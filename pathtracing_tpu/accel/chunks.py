@@ -183,14 +183,21 @@ class ChunkedStaticRegion:
         leaf_bundle: int | None = 8,
         layout: WideLayout = LAYOUT_W8,
         chunk_max: int = DEFAULT_CHUNK_MAX,
+        octants: int = 8,
     ):
         import sys
 
         if sys.getrecursionlimit() < 100000:
             sys.setrecursionlimit(100000)
+        assert octants in (1, 8), octants
         self.layout = layout
         self.leaf_bundle = leaf_bundle
         self.chunk_max = chunk_max
+        # octants=1 emits only octant 0's tree per chunk/TLAS and aliases
+        # the 8 entry cursors to it: ~8x fewer interior rows, trading
+        # near-to-far order for a far smaller gather working set (the v5e
+        # gather cost rises steeply with table footprint, BENCH_NOTES r4)
+        self.octants = octants
         lay = layout
         nodes = np.asarray(bvh_nodes, f32)
         links_all = np.ascontiguousarray(bvh_links, u32)
@@ -229,7 +236,7 @@ class ChunkedStaticRegion:
                     res = build_wide_tree_native(
                         links8, n6, tri9, None, bundle, lay.n_slots,
                         lay.leaf_tris, row_cursor, int(END_BLAS),
-                        root_node=int(v),
+                        root_node=int(v), n_octants=octants,
                     )
                     if res is None:
                         raise RuntimeError(
@@ -256,12 +263,13 @@ class ChunkedStaticRegion:
                             )
                         return lay.make_cursor(KIND_LEAF, leaf_cache[pk])
 
-                    for o in range(8):
+                    for o in range(octants):
                         links_o = links8[o * cnt : (o + 1) * cnt]
                         rid = builder.build_wide_tree(
                             links_o, n6, int(v), leaf_target, END_BLAS
                         )
                         root8s[k, o] = lay.make_cursor(KIND_WIDE, rid)
+                    root8s[k, octants:] = root8s[k, 0]
             self.chunks_of[key] = (node_ids, aabb6, root8s)
 
         if not native:
@@ -310,7 +318,7 @@ class ChunkedStaticRegion:
             )
             rows, self.static_root8 = _emit_tlas_rows(
                 lay, t_nodes, t_links, inst_cursors, row_cursor,
-                np.full(8, END_TLAS, u32), bundle,
+                np.full(8, END_TLAS, u32), bundle, octants,
             )
             parts.append(rows)
             row_cursor += len(rows)
@@ -325,7 +333,7 @@ class ChunkedStaticRegion:
 
 def _emit_tlas_rows(
     lay: WideLayout, t_nodes, t_links, payload_cursors: np.ndarray,
-    base_row: int, exit8: np.ndarray, bundle: int,
+    base_row: int, exit8: np.ndarray, bundle: int, octants: int = 8,
 ):
     """Wide rows for a TLAS whose leaves are payload_cursors[payload],
     with per-octant exit cursors. Returns (rows, root8)."""
@@ -339,13 +347,13 @@ def _emit_tlas_rows(
             np.ascontiguousarray(t_links, u32), np.asarray(t_nodes, f32),
             None, np.ascontiguousarray(payload_cursors, u32),
             bundle, lay.n_slots, lay.leaf_tris, base_row, int(END_TLAS),
-            exit8=np.ascontiguousarray(exit8, u32),
+            exit8=np.ascontiguousarray(exit8, u32), n_octants=octants,
         )
         if res is not None:
             return res
     b = WideBuilder(leaf_bundle=0, base=base_row, layout=lay)
     root8 = np.zeros(8, u32)
-    for o in range(8):
+    for o in range(octants):
         links_o = np.asarray(t_links, u32)[o * n : (o + 1) * n]
 
         def leaf_target(prims, group):
@@ -357,6 +365,7 @@ def _emit_tlas_rows(
             u32(exit8[o]),
         )
         root8[o] = lay.make_cursor(KIND_WIDE, rid)
+    root8[octants:] = root8[0]
     rows = b.finalize() if b.rows else np.zeros((0, lay.w_row), f32)
     return rows, root8
 
@@ -468,6 +477,7 @@ def build_frame_tail_chunked(
             rows, root8 = _emit_tlas_rows(
                 lay, t_nodes, t_links, cursors[sel], row_cursor,
                 static.static_root8, bundle,
+                getattr(static, "octants", 8),
             )
             parts.append(rows)
             row_cursor += len(rows)

@@ -153,6 +153,7 @@ def get_wide_lib():
             u32p, f32p, ctypes.c_uint32, f32p, u32p,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, u32p,
+            ctypes.c_uint32,
         ]
         lib.pt_wide_rows_count.restype = ctypes.c_int64
         lib.pt_wide_rows_count.argtypes = [ctypes.c_void_p]
@@ -176,6 +177,7 @@ def build_wide_tree_native(
     exit_sentinel: int,
     root_node: int = 0,
     exit8: np.ndarray | None = None,   # (8,) u32 per-octant exit cursors
+    n_octants: int = 8,
 ):
     """8-octant wide trees (+ leaf chains) for one binary BVH (or the
     subtree rooted at ``root_node`` — the chunked static region emits one
@@ -211,6 +213,7 @@ def build_wide_tree_native(
         links.ctypes.data_as(u32p), nodes6.ctypes.data_as(f32p), n,
         tri9_p, pc_p, leaf_bundle, n_slots, leaf_tris, base_row,
         np.uint32(exit_sentinel), np.uint32(root_node), e8_p,
+        np.uint32(n_octants),
     )
     if not h:
         return None

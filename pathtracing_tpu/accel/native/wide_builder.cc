@@ -348,13 +348,22 @@ extern "C" {
 // when non-null, gives a PER-OCTANT exit cursor — the dynamic per-frame
 // TLAS trees chain into the load-time static TLAS root of the same octant
 // instead of terminating at END_TLAS.
+// n_octants: 8 emits the classic per-octant trees; 1 emits ONLY octant
+// 0's tree and aliases all 8 entry cursors to it — ~8x fewer interior
+// rows (leaf chains were already shared), trading near-to-far traversal
+// order for a much smaller gather working set (the v5e gather cost is a
+// steep function of table footprint — BENCH_NOTES round 4). Hit SET is
+// unchanged (strict confirms), so closest/any-hit results are identical
+// up to exact-t ties.
 void* pt_wide_subtree_create(
     const u32* links, const float* nodes6, u32 n,
     const float* tri9, const u32* payload_cursor,
     u32 leaf_bundle, u32 n_slots, u32 leaf_tris,
-    u32 base_row, u32 exit_sentinel, u32 root_node, const u32* exit8)
+    u32 base_row, u32 exit_sentinel, u32 root_node, const u32* exit8,
+    u32 n_octants)
 {
     if (n == 0 || root_node >= n) return nullptr;
+    if (n_octants != 1 && n_octants != 8) return nullptr;
     auto* h = new Handle();
     h->b.lay = Layout::make(n_slots, leaf_tris);
     h->b.leaf_bundle = payload_cursor ? 0 : leaf_bundle;
@@ -362,7 +371,7 @@ void* pt_wide_subtree_create(
     h->b.tri9 = tri9;
     h->b.payload_cursor = payload_cursor;
     h->b.n_nodes = n;
-    for (int o = 0; o < 8; o++) {
+    for (u32 o = 0; o < n_octants; o++) {
         const u32* olinks = links + (size_t)o * n * 2;
         Group* root = h->b.group_of(olinks, nodes6, root_node);
         if (root->payload == -2) { delete h; return nullptr; }  // corrupt links
@@ -371,6 +380,7 @@ void* pt_wide_subtree_create(
         h->root8[o] = h->b.lay.cursor(KIND_WIDE, rid);
         h->b.arena.clear();
     }
+    for (u32 o = n_octants; o < 8; o++) h->root8[o] = h->root8[0];
     h->b.finalize();
     return h;
 }
@@ -383,7 +393,7 @@ void* pt_wide_tree_create(
 {
     return pt_wide_subtree_create(
         links, nodes6, n, tri9, payload_cursor, leaf_bundle, n_slots,
-        leaf_tris, base_row, exit_sentinel, 0, nullptr);
+        leaf_tris, base_row, exit_sentinel, 0, nullptr, 8);
 }
 
 int64_t pt_wide_rows_count(void* handle)

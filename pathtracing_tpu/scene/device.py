@@ -367,7 +367,8 @@ class DevicePacker:
     _INST_BUCKET = 8       # instance rows
 
     def __init__(self, scene, wide: bool = False, leaf_bundle: int | None = 8,
-                 wide_layout="w8", chunk_max: int | None = None):
+                 wide_layout="w8", chunk_max: int | None = None,
+                 octants: int = 8):
         mesh_arrays = scene.mesh_buf.arrays()
         indices, pos, normal, albedo, material = mesh_arrays
         blas_segments = [
@@ -411,6 +412,7 @@ class DevicePacker:
                     leaf_bundle=leaf_bundle,
                     layout=_wide_layout(wide_layout),
                     chunk_max=chunk_max,
+                    octants=octants,
                 )
                 self._chunked = True
             else:

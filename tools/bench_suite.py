@@ -191,12 +191,14 @@ def bench_grads(scale, json_path):
     import numpy as np
 
     from pathtracing_tpu.config import TESTING
-    from pathtracing_tpu.diff.render import make_render_grad_fn
+    from pathtracing_tpu.diff.render import make_fast_grad_fn
     from pathtracing_tpu.utils.goldenio import load_golden
     from golden_scene import scene_device_from_golden
 
-    # wide tables speed the (stop-gradient) traversal; gradients still flow
-    # through the per-vertex tables (diff/render.py fixed-topology model)
+    # record/replay fast path (diff/render.make_fast_grad_fn): the
+    # forward runs the fast stop-gradient traversal once to record hit
+    # topology; AD differentiates a traversal-free replay. Gradients
+    # match make_render_grad_fn (tests/test_diff_fast.py).
     scene = scene_device_from_golden(
         load_golden(str(REPO / "tests/golden/scene.gold")),
         wide=jax.default_backend() == "tpu",
@@ -206,7 +208,7 @@ def bench_grads(scale, json_path):
     xs = jnp.asarray(rng.integers(0, TESTING.image_width, n), jnp.int32)
     ys = jnp.asarray(rng.integers(0, TESTING.image_height, n), jnp.int32)
     si = jnp.asarray(rng.integers(0, 8, n), jnp.int32)
-    fn = make_render_grad_fn(TESTING)
+    fn = make_fast_grad_fn(TESTING)
     # time by host-fetching a scalar: block_until_ready does NOT block
     # through the axon tunnel (tools/tpu_diag.py methodology); the device
     # executes in order, so fetching the last rep's loss fences all reps.

@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--service", type=str, default="4")
     ap.add_argument("--layout", type=str, default="w8")
     ap.add_argument("--bundle", type=int, default=8)
+    ap.add_argument("--octants", type=int, default=8)
     ap.add_argument("--dispatch", type=int, default=0)
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
@@ -52,6 +53,7 @@ def main():
     packer = DevicePacker(
         host, wide=True, chunk_max=args.chunk or None,
         wide_layout=args.layout, leaf_bundle=args.bundle,
+        octants=args.octants,
     )
     print(f"load+static: {time.perf_counter()-t0:.1f}s "
           f"(rows {packer._wide_static.rows.shape[0]}, chunk={args.chunk}, "

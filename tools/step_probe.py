@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--warm", type=int, default=600)
     ap.add_argument("--chunk", type=int, default=1024)
+    ap.add_argument("--octants", type=int, default=8)
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
@@ -52,7 +53,7 @@ def main():
 
     t0 = time.perf_counter()
     host = load_scene(config=TESTING)
-    packer = DevicePacker(host, wide=True, chunk_max=args.chunk or None)
+    packer = DevicePacker(host, wide=True, chunk_max=args.chunk or None, octants=args.octants)
     setup_animation_frame(host, args.frame, TESTING)
     scene = packer.pack_frame(host)
     print(f"packed ({time.perf_counter()-t0:.0f}s) "
@@ -130,8 +131,103 @@ def main():
         tr = jax.lax.fori_loop(0, K, body, tr)
         return tr.tmax.sum()
 
-    for name, fn in [("cheap", run_cheap), ("strip", run_strip),
-                     ("vpu", run_vpu)]:
+    # Row-count sweep on the strip chain: same dependent walk over
+    # leading-row slices of the real table. Sizes the hot/cold-split
+    # lever: if small tables gather several-x faster, the tree's hot top
+    # belongs in its own table.
+    size_fns = []
+    for Nr in (131072, 163840, 196608, 229376, 262144, 393216, scene.wide_rows.shape[0]):
+        tblN = jnp.asarray(scene.wide_rows[:Nr])
+
+        def mk_sfn(tblN=tblN, Nr=Nr):
+            @jax.jit
+            def run(tr):
+                lay_mask = jnp.uint32((1 << 27) - 1)
+
+                def body(i, cur):
+                    row = tblN[
+                        (cur >> jnp.uint32(3) & lay_mask).astype(jnp.int32)
+                        % Nr
+                    ]
+                    bits = jax.lax.bitcast_convert_type(row, jnp.uint32)
+                    return bits[:, 20] ^ (bits[:, 0] & jnp.uint32(7))
+
+                cur = jax.lax.fori_loop(0, K, body, tr.cursor)
+                return cur.sum()
+
+            return run
+
+        size_fns.append((f"strip_n{Nr//1024}k", mk_sfn()))
+
+    # range-confined variants on the FULL table: distinguishes "small
+    # table allocation" from "small index range" — if range is what
+    # matters, hot-first row ordering of the one big table captures the
+    # fast regime with no layout change
+    full_tbl = jnp.asarray(scene.wide_rows)
+    NFULL = scene.wide_rows.shape[0]
+    for label, lo, span in (
+        ("range32k@0", 0, 32768),
+        ("range32k@mid", min(262144, NFULL - 32768), 32768),
+    ):
+
+        def mk_rfn(lo=lo, span=span):
+            @jax.jit
+            def run(tr):
+                lay_mask = jnp.uint32((1 << 27) - 1)
+
+                def body(i, cur):
+                    row = full_tbl[
+                        lo
+                        + (cur >> jnp.uint32(3) & lay_mask).astype(jnp.int32)
+                        % span
+                    ]
+                    bits = jax.lax.bitcast_convert_type(row, jnp.uint32)
+                    return bits[:, 20] ^ (bits[:, 0] & jnp.uint32(7))
+
+                cur = jax.lax.fori_loop(0, K, body, tr.cursor)
+                return cur.sum()
+
+            return run
+
+        size_fns.append((f"strip_{label}", mk_rfn()))
+
+    # Row-width sweep on the strip chain: the same dependent random walk
+    # over tables that are the wide table column-sliced / zero-padded to
+    # width W. Answers whether gather cost scales with row bytes (then a
+    # 32-col quantized layout pays) or is width-flat.
+    width_fns = []
+    for Wd in (24, 32, 48, 96, 128):
+        if Wd <= scene.wide_rows.shape[1]:
+            tbl = scene.wide_rows[:, :Wd]
+        else:
+            tbl = jnp.pad(
+                scene.wide_rows,
+                ((0, 0), (0, Wd - scene.wide_rows.shape[1])),
+            )
+        tbl = jnp.asarray(tbl)
+
+        def mk_fn(tbl=tbl):
+            @jax.jit
+            def run(tr):
+                lay_mask = jnp.uint32((1 << 27) - 1)
+
+                def body(i, cur):
+                    row = tbl[
+                        (cur >> jnp.uint32(3) & lay_mask).astype(jnp.int32)
+                        % tbl.shape[0]
+                    ]
+                    bits = jax.lax.bitcast_convert_type(row, jnp.uint32)
+                    nxt = bits[:, 20] ^ (bits[:, 0] & jnp.uint32(7))
+                    return nxt
+
+                cur = jax.lax.fori_loop(0, K, body, tr.cursor)
+                return cur.sum()
+
+            return run
+
+        width_fns.append((f"strip_w{Wd}", mk_fn()))
+
+    for name, fn in [("cheap", run_cheap)] + size_fns:
         v = float(fn(trav0))  # compile + warm
         ts = []
         for _ in range(args.iters):
