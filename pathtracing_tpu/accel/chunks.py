@@ -237,6 +237,7 @@ class ChunkedStaticRegion:
                         links8, n6, tri9, None, bundle, lay.n_slots,
                         lay.leaf_tris, row_cursor, int(END_BLAS),
                         root_node=int(v), n_octants=octants,
+                        stub=lay.stub,
                     )
                     if res is None:
                         raise RuntimeError(
@@ -348,6 +349,7 @@ def _emit_tlas_rows(
             None, np.ascontiguousarray(payload_cursors, u32),
             bundle, lay.n_slots, lay.leaf_tris, base_row, int(END_TLAS),
             exit8=np.ascontiguousarray(exit8, u32), n_octants=octants,
+            stub=lay.stub,
         )
         if res is not None:
             return res

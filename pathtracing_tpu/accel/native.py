@@ -153,7 +153,7 @@ def get_wide_lib():
             u32p, f32p, ctypes.c_uint32, f32p, u32p,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
             ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, u32p,
-            ctypes.c_uint32,
+            ctypes.c_uint32, ctypes.c_uint32,
         ]
         lib.pt_wide_rows_count.restype = ctypes.c_int64
         lib.pt_wide_rows_count.argtypes = [ctypes.c_void_p]
@@ -178,6 +178,7 @@ def build_wide_tree_native(
     root_node: int = 0,
     exit8: np.ndarray | None = None,   # (8,) u32 per-octant exit cursors
     n_octants: int = 8,
+    stub: bool = False,
 ):
     """8-octant wide trees (+ leaf chains) for one binary BVH (or the
     subtree rooted at ``root_node`` — the chunked static region emits one
@@ -213,7 +214,7 @@ def build_wide_tree_native(
         links.ctypes.data_as(u32p), nodes6.ctypes.data_as(f32p), n,
         tri9_p, pc_p, leaf_bundle, n_slots, leaf_tris, base_row,
         np.uint32(exit_sentinel), np.uint32(root_node), e8_p,
-        np.uint32(n_octants),
+        np.uint32(n_octants), np.uint32(1 if stub else 0),
     )
     if not h:
         return None
@@ -221,7 +222,7 @@ def build_wide_tree_native(
         k = lib.pt_wide_rows_count(h)
         from pathtracing_tpu.accel.wide import WideLayout
 
-        w_row = WideLayout(n_slots, leaf_tris).w_row
+        w_row = WideLayout(n_slots, leaf_tris, stub=stub).w_row
         rows = np.empty((k, w_row), np.float32)
         root8 = np.empty(8, np.uint32)
         lib.pt_wide_copy(

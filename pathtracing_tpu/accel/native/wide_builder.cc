@@ -32,24 +32,28 @@ constexpr u32 LEAF_BIT = 0x80000000u;
 
 struct Layout
 {
-    u32 n_slots, leaf_tris, slot_bits, w_row;
+    u32 n_slots, leaf_tris, slot_bits, w_row, stub;
     u32 links_col, exit_col, prims_col, next_col;
 
-    static Layout make(u32 n_slots, u32 leaf_tris)
+    // stub=1: leaf rows carry prim ids + next link only (no inline
+    // vertices) — accel/wide.LAYOUT_S8; byte layout mirrored exactly
+    static Layout make(u32 n_slots, u32 leaf_tris, u32 stub = 0)
     {
         Layout l;
         l.n_slots = n_slots;
         l.leaf_tris = leaf_tris;
+        l.stub = stub;
         l.slot_bits = 3;
         while ((1u << l.slot_bits) < n_slots) l.slot_bits++;
         u32 need = 4 * n_slots + 1;
-        if (10 * leaf_tris + 1 > need) need = 10 * leaf_tris + 1;
+        u32 leaf_need = stub ? (leaf_tris + 2) : (10 * leaf_tris + 1);
+        if (leaf_need > need) need = leaf_need;
         if (need < 21) need = 21;
         l.w_row = ((need + 1 + 7) / 8) * 8;
         l.links_col = 3 * n_slots;
         l.exit_col = 4 * n_slots;
-        l.prims_col = 9 * leaf_tris;
-        l.next_col = 10 * leaf_tris;
+        l.prims_col = stub ? 0 : 9 * leaf_tris;
+        l.next_col = stub ? leaf_tris : 10 * leaf_tris;
         return l;
     }
 
@@ -251,8 +255,9 @@ struct Builder
             u32 rid = alloc();
             float* r = row(rid);
             size_t cnt = std::min((size_t)L, prims.size() - lo);
-            for (size_t k = 0; k < cnt; k++)
-                std::memcpy(r + 9 * k, tri9 + (size_t)prims[lo + k] * 9, 9 * 4);
+            if (!lay.stub)
+                for (size_t k = 0; k < cnt; k++)
+                    std::memcpy(r + 9 * k, tri9 + (size_t)prims[lo + k] * 9, 9 * 4);
             for (u32 k = 0; k < L; k++) {
                 int32_t pid = k < cnt ? prims[lo + k] : -1;
                 std::memcpy(r + lay.prims_col + k, &pid, 4);
@@ -360,12 +365,12 @@ void* pt_wide_subtree_create(
     const float* tri9, const u32* payload_cursor,
     u32 leaf_bundle, u32 n_slots, u32 leaf_tris,
     u32 base_row, u32 exit_sentinel, u32 root_node, const u32* exit8,
-    u32 n_octants)
+    u32 n_octants, u32 stub)
 {
     if (n == 0 || root_node >= n) return nullptr;
     if (n_octants != 1 && n_octants != 8) return nullptr;
     auto* h = new Handle();
-    h->b.lay = Layout::make(n_slots, leaf_tris);
+    h->b.lay = Layout::make(n_slots, leaf_tris, stub);
     h->b.leaf_bundle = payload_cursor ? 0 : leaf_bundle;
     h->b.base = base_row;
     h->b.tri9 = tri9;
@@ -393,7 +398,7 @@ void* pt_wide_tree_create(
 {
     return pt_wide_subtree_create(
         links, nodes6, n, tri9, payload_cursor, leaf_bundle, n_slots,
-        leaf_tris, base_row, exit_sentinel, 0, nullptr, 8);
+        leaf_tris, base_row, exit_sentinel, 0, nullptr, 8, 0);
 }
 
 int64_t pt_wide_rows_count(void* handle)

@@ -86,20 +86,28 @@ class WideLayout:
     free lever (v5e row gathers are FLAT in width to >=512 B, BENCH_NOTES
     round 2), so fatter nodes cut gathered rows per ray ~for free."""
 
-    def __init__(self, n_slots: int, leaf_tris: int):
+    def __init__(self, n_slots: int, leaf_tris: int, stub: bool = False):
         self.n_slots = n_slots
         self.leaf_tris = leaf_tris
+        # stub leaves: the row stores ONLY leaf_tris prim ids + the next
+        # link; vertices are gathered from scene.tri_pos at test time.
+        # Shrinks the mega table below the v5e's VMEM-staging cliff
+        # (BENCH_NOTES round 4: gather cost jumps ~4.5x once the operand
+        # exceeds ~75-100 MB), at the price of leaf_tris extra gathers
+        # from the (small, fast) tri_pos table in full steps only.
+        self.stub = stub
         self.slot_bits = max(3, (n_slots - 1).bit_length())
         self.row_mask = u32((1 << (30 - self.slot_bits)) - 1)
         # pad width to a multiple of 8 f32 (32 B) for tiling friendliness;
         # keeps w8 at the proven 48-col rows
-        need = max(4 * n_slots + 1, 10 * leaf_tris + 1, 21)
+        leaf_need = (leaf_tris + 2) if stub else (10 * leaf_tris + 1)
+        need = max(4 * n_slots + 1, leaf_need, 21)
         self.w_row = -(-(need + 1) // 8) * 8
         # column offsets
         self.links_col = 3 * n_slots         # wide rows
         self.exit_col = 4 * n_slots
-        self.prims_col = 9 * leaf_tris       # leaf rows
-        self.next_col = 10 * leaf_tris
+        self.prims_col = 0 if stub else 9 * leaf_tris   # leaf rows
+        self.next_col = leaf_tris if stub else 10 * leaf_tris
 
     def make_cursor(self, kind: int, row: int, slot: int = 0) -> u32:
         assert 0 <= row < (1 << (30 - self.slot_bits)), row
@@ -113,7 +121,15 @@ class WideLayout:
 #   w16 : 16 slots / 8-tri leaves, 88-col (352 B) rows — fewer gathers/ray
 LAYOUT_W8 = WideLayout(8, 4)
 LAYOUT_W16 = WideLayout(16, 8)
-LAYOUTS_BY_WIDTH = {LAYOUT_W8.w_row: LAYOUT_W8, LAYOUT_W16.w_row: LAYOUT_W16}
+#   s8 : 8 slots + 8-id STUB leaves in 40-col (160 B) rows — verts
+#        gathered from tri_pos at test time; the table stays under the
+#        VMEM staging cliff on full-animation scenes
+LAYOUT_S8 = WideLayout(8, 8, stub=True)
+LAYOUTS_BY_WIDTH = {
+    LAYOUT_W8.w_row: LAYOUT_W8,
+    LAYOUT_W16.w_row: LAYOUT_W16,
+    LAYOUT_S8.w_row: LAYOUT_S8,
+}
 
 # Back-compat module constants (the w8 layout).
 W_ROW = LAYOUT_W8.w_row
@@ -304,8 +320,9 @@ class WideBuilder:
             rid = self._alloc()
             row = self._row(rid)
             batch = prims[lo : lo + lay.leaf_tris]
-            for k, p in enumerate(batch):
-                row[9 * k : 9 * k + 9] = tri_pos_lookup(p)
+            if not lay.stub:
+                for k, p in enumerate(batch):
+                    row[9 * k : 9 * k + 9] = tri_pos_lookup(p)
             ids = np.full(lay.leaf_tris, -1, np.int32)
             ids[: len(batch)] = batch
             row[lay.prims_col : lay.prims_col + lay.leaf_tris] = ids.view(f32)
@@ -474,7 +491,7 @@ class WideStaticRegion:
                     nodes[blas.node_offset :
                           blas.node_offset + blas.node_count],
                     tri9, None, bundle, layout.n_slots, layout.leaf_tris,
-                    row_cursor, int(END_BLAS),
+                    row_cursor, int(END_BLAS), stub=layout.stub,
                 )
                 if res is None:
                     ok = False
@@ -620,7 +637,7 @@ def build_frame_tail(
                 links_all[8 * off : 8 * off + 8 * cnt],
                 nodes[off : off + cnt],
                 None, inst_cursors, 0, lay.n_slots, lay.leaf_tris,
-                row_cursor, int(END_TLAS),
+                row_cursor, int(END_TLAS), stub=lay.stub,
             )
             if res is None:
                 ok = False

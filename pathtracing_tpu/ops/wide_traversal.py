@@ -245,16 +245,23 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     )
 
 
-def _leaf_block(lay, row, s, tmin, mask):
+def _leaf_block(scene, lay, row, s, tmin, mask):
     """The L-triangle exact-test block shared by the full step (current
     LEAF row) and the deferred-flush path (parked row). Reproduces the
     sequential confirm semantics: each passing candidate shrinks tmax
     before the next is judged, winner = min-t with first-index tie-break
-    (reference: ray_query.hh:280-290, path_tracer.hh:346-349)."""
+    (reference: ray_query.hh:280-290, path_tracer.hh:346-349).
+
+    Stub layouts (LAYOUT_S8) store prim ids only; vertices come from
+    scene.tri_pos via the per-instance triangle base (inst_u col 4) —
+    the same rows shade_hit gathers, so the exact test is unchanged."""
     R = s.tmax.shape
     prims = jax.lax.bitcast_convert_type(
         row[:, lay.prims_col : lay.prims_col + lay.leaf_tris], jnp.int32
     )
+    if lay.stub:
+        inst_c = jnp.maximum(s.cand_inst, 0)
+        tri_base = scene.inst_u[inst_c, 4]
     b_org = Vec3(s.b_org_x, s.b_org_y, s.b_org_z)
     b_S = Vec3(s.b_S_x, s.b_S_y, s.b_S_z)
     best_t = jnp.full(R, jnp.inf, jnp.float32)
@@ -262,17 +269,22 @@ def _leaf_block(lay, row, s, tmin, mask):
     any_ok = jnp.zeros(R, bool)
     new_tmax = s.tmax
     for k in range(lay.leaf_tris):
-        v = row[:, 9 * k : 9 * k + 9]
+        pk = prims[:, k]
+        if lay.stub:
+            trow = jnp.where(mask & (pk >= 0), tri_base + pk, 0)
+            v = scene.tri_pos[trow]
+        else:
+            v = row[:, 9 * k : 9 * k + 9]
         ok, _tu, _tv, tt, _tb = _tri_intersect(
             b_org, s.b_axis, b_S,
             Vec3(v[:, 0], v[:, 1], v[:, 2]),
             Vec3(v[:, 3], v[:, 4], v[:, 5]),
             Vec3(v[:, 6], v[:, 7], v[:, 8]),
         )
-        ok = ok & (tt < new_tmax) & (tt > tmin) & (prims[:, k] >= 0) & mask
+        ok = ok & (tt < new_tmax) & (tt > tmin) & (pk >= 0) & mask
         take = ok & (tt < best_t)
         best_t = jnp.where(take, tt, best_t)
-        best_prim = jnp.where(take, prims[:, k], best_prim)
+        best_prim = jnp.where(take, pk, best_prim)
         new_tmax = jnp.where(ok, tt, new_tmax)
         any_ok = any_ok | ok
     return any_ok, best_prim, new_tmax
@@ -390,7 +402,7 @@ def _wide_step(scene, s: _WideTravState, consts, tmin, anyhit):
     )
     leaf_row = scene.wide_rows[jnp.where(leaf_mask, leaf_row_id, 0)]
     any_ok, best_prim, new_tmax_leaf = _leaf_block(
-        lay, leaf_row, s, tmin, leaf_mask
+        scene, lay, leaf_row, s, tmin, leaf_mask
     )
     nxt = rbits[:, lay.next_col]
     leaf_next = jnp.where(nxt == u32c(RETURN_SENTINEL), s.leaf_resume, nxt)

@@ -229,11 +229,11 @@ def pack_vattr(normal, albedo, material) -> np.ndarray:
 
 
 def _wide_layout(name):
-    from pathtracing_tpu.accel.wide import LAYOUT_W8, LAYOUT_W16
+    from pathtracing_tpu.accel.wide import LAYOUT_S8, LAYOUT_W8, LAYOUT_W16
 
     if not isinstance(name, str):
         return name
-    return {"w8": LAYOUT_W8, "w16": LAYOUT_W16}[name]
+    return {"w8": LAYOUT_W8, "w16": LAYOUT_W16, "s8": LAYOUT_S8}[name]
 
 
 def attach_wide(

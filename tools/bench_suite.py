@@ -152,7 +152,7 @@ def bench_full_anim(scale, frames, wavefront, json_path):
     host = load_scene(config=config)
     load_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    packer = DevicePacker(host, wide=jax.default_backend() == "tpu")
+    packer = DevicePacker(host, wide=jax.default_backend() == "tpu", chunk_max=1024)
     wide_build_s = time.perf_counter() - t0
     total_px = 0.0
     total_s = 0.0

@@ -154,7 +154,7 @@ def main():
     config = dataclasses.replace(TESTING, samples_per_pixel=args.spp)
     t0 = time.perf_counter()
     scene = load_scene(data_dir=os.path.join(WORK, "data"), config=config)
-    packer = DevicePacker(scene, wide=backend == "tpu")
+    packer = DevicePacker(scene, wide=backend == "tpu", chunk_max=1024)
     print(f"load_scene+packer: {time.perf_counter()-t0:.1f}s", flush=True)
 
     from concurrent.futures import ThreadPoolExecutor
