@@ -23,7 +23,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frame", type=int, default=900)
+    ap.add_argument("--frame", type=str, default="900")
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=1024)
     ap.add_argument("--lanes", type=str, default="8192")
@@ -59,44 +59,46 @@ def main():
           f"(rows {packer._wide_static.rows.shape[0]}, chunk={args.chunk}, "
           f"layout={args.layout}, backend={jax.default_backend()})",
           flush=True)
-    t0 = time.perf_counter()
-    setup_animation_frame(host, args.frame, TESTING)
-    dev = packer.pack_frame(host)
-    jax.block_until_ready(dev.wide_rows)
-    print(f"setup+pack: {time.perf_counter()-t0:.1f}s", flush=True)
-
     W, H = TESTING.image_width, TESTING.image_height
     idx = np.arange(W * H, dtype=np.int32)
     xs, ys = idx % W, idx // W
     n_samples = W * H * args.spp
 
-    for lanes in [int(x) for x in args.lanes.split(",")]:
-        for leaf in [int(x) for x in args.leaf.split(",")]:
-            for sdiv in [int(x) for x in args.service.split(",")]:
-                R.DEFAULT_MK_LANES = lanes
-                R.DEFAULT_MK_LEAF = leaf
-                R.DEFAULT_MK_SERVICE = sdiv
-                t0 = time.perf_counter()
-                out = R.render_pixels(
-                    TESTING, dev, xs, ys, spp=args.spp, megakernel=True
-                )
-                compile_s = time.perf_counter() - t0
-                best = None
-                for _ in range(args.repeat):
+    for frame in [int(x) for x in args.frame.split(",")]:
+        t0 = time.perf_counter()
+        setup_animation_frame(host, frame, TESTING)
+        dev = packer.pack_frame(host)
+        jax.block_until_ready(dev.wide_rows)
+        pack_s = time.perf_counter() - t0
+
+        for lanes in [int(x) for x in args.lanes.split(",")]:
+            for leaf in [int(x) for x in args.leaf.split(",")]:
+                for sdiv in [int(x) for x in args.service.split(",")]:
+                    R.DEFAULT_MK_LANES = lanes
+                    R.DEFAULT_MK_LEAF = leaf
+                    R.DEFAULT_MK_SERVICE = sdiv
                     t0 = time.perf_counter()
                     out = R.render_pixels(
                         TESTING, dev, xs, ys, spp=args.spp, megakernel=True
                     )
-                    dt = time.perf_counter() - t0
-                    best = dt if best is None else min(best, dt)
-                ms = n_samples / best / 1e6
-                print(
-                    f"lanes={lanes} leaf={leaf} sdiv={sdiv}: "
-                    f"{best:.2f}s = {ms:.3f} Msamples/s "
-                    f"(first pass {compile_s:.1f}s, mean_r "
-                    f"{float(out[:, 0].mean()):.4f})",
-                    flush=True,
-                )
+                    compile_s = time.perf_counter() - t0
+                    best = None
+                    for _ in range(args.repeat):
+                        t0 = time.perf_counter()
+                        out = R.render_pixels(
+                            TESTING, dev, xs, ys, spp=args.spp,
+                            megakernel=True
+                        )
+                        dt = time.perf_counter() - t0
+                        best = dt if best is None else min(best, dt)
+                    ms = n_samples / best / 1e6
+                    print(
+                        f"frame={frame} lanes={lanes} leaf={leaf} "
+                        f"sdiv={sdiv}: {best:.2f}s = {ms:.3f} Msamples/s "
+                        f"(pack {pack_s:.1f}s, first pass {compile_s:.1f}s, "
+                        f"mean_r {float(out[:, 0].mean()):.4f})",
+                        flush=True,
+                    )
 
 
 if __name__ == "__main__":

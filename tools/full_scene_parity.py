@@ -124,7 +124,9 @@ def main():
     from pathtracing_tpu.scene.device import DevicePacker
     from pathtracing_tpu.scene.loader import load_scene, setup_animation_frame
 
-    config = dataclasses.replace(TESTING, samples_per_pixel=args.spp)
+    # TESTING keeps the reference's compile-time 32-subframe motion grid;
+    # the sample subset is passed to render_frame (see full_validation.py)
+    config = TESTING
     t0 = time.perf_counter()
     scene = load_scene(data_dir=os.path.join(WORK, "data"), config=config)
     packer = DevicePacker(scene)
@@ -135,7 +137,7 @@ def main():
         t0 = time.perf_counter()
         setup_animation_frame(scene, f, config)
         dev = packer.pack_frame(scene)
-        _, image = render_frame(config, dev)
+        _, image = render_frame(config, dev, spp=args.spp)
         p = psnr(image.reshape(-1, 4)[:, :3], ref_imgs[f].reshape(-1, 4)[:, :3])
         worst = min(worst, p)
         status = "ok" if p >= args.min_psnr else "FAIL"

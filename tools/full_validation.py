@@ -151,7 +151,15 @@ def main():
     from pathtracing_tpu.scene.device import DevicePacker
     from pathtracing_tpu.scene.loader import load_scene, setup_animation_frame
 
-    config = dataclasses.replace(TESTING, samples_per_pixel=args.spp)
+    # Keep the TESTING config's 32-subframe motion-blur grid and render a
+    # sample SUBSET: the reference binary is compiled with
+    # SAMPLES_PER_PIXEL=256, so its subframe times are i/32 of the frame
+    # interval regardless of how many samples the harness actually draws
+    # (reference: config.hh:14-18, scene.cc:648-650, path_tracer.hh:655).
+    # Replacing samples_per_pixel would rescale OUR subframe grid to
+    # i/ceil(spp/8) and diverge above 8 spp (caught by the 64-spp
+    # validation pass: 7/18 frames < 32 dB before this fix).
+    config = TESTING
     t0 = time.perf_counter()
     scene = load_scene(data_dir=os.path.join(WORK, "data"), config=config)
     packer = DevicePacker(scene, wide=backend == "tpu", chunk_max=1024)
@@ -176,7 +184,7 @@ def main():
         if i + 1 < len(todo):
             nxt = host_pool.submit(setup_pack, todo[i + 1])
         t0 = time.perf_counter()
-        _, image = render_frame(config, dev)
+        _, image = render_frame(config, dev, spp=args.spp)
         write_bmp(os.path.join(own_dir, f"frame_{f:04d}.bmp"), image)
         if i % 50 == 0:
             done_n = i + 1
