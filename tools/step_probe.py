@@ -52,10 +52,21 @@ def main():
     from pathtracing_tpu.scene.loader import load_scene, setup_animation_frame
 
     t0 = time.perf_counter()
-    host = load_scene(config=TESTING)
-    packer = DevicePacker(host, wide=True, chunk_max=args.chunk or None, octants=args.octants)
-    setup_animation_frame(host, args.frame, TESTING)
-    scene = packer.pack_frame(host)
+    if args.frame < 0:
+        # golden scene (small-table fast-gather regime)
+        sys.path.insert(0, str(_REPO / "tests"))
+        from pathtracing_tpu.utils.goldenio import load_golden
+        from golden_scene import scene_device_from_golden
+
+        scene = scene_device_from_golden(
+            load_golden(str(_REPO / "tests" / "golden" / "scene.gold")),
+            wide=True,
+        )
+    else:
+        host = load_scene(config=TESTING)
+        packer = DevicePacker(host, wide=True, chunk_max=args.chunk or None, octants=args.octants)
+        setup_animation_frame(host, args.frame, TESTING)
+        scene = packer.pack_frame(host)
     print(f"packed ({time.perf_counter()-t0:.0f}s) "
           f"rows={scene.wide_rows.shape} backend={jax.default_backend()}",
           flush=True)
@@ -227,7 +238,26 @@ def main():
 
         width_fns.append((f"strip_w{Wd}", mk_fn()))
 
-    for name, fn in [("cheap", run_cheap)] + size_fns:
+    @jax.jit
+    def run_full(tr):
+        def body(i, tr):
+            return _wide_step(scene, tr, consts, tmin, jnp.zeros(R, bool))
+        return jax.lax.fori_loop(0, K // 4, body, tr).tmax.sum()
+
+    @jax.jit
+    def run_service(s0):
+        def body(i, s):
+            return mk._service(TESTING, scene, s, args.spp, 0,
+                               230400)
+        s = jax.lax.fori_loop(0, K // 8, body, s0)
+        return s.acc_r.sum() + s.cur.x.sum()
+
+    from pathtracing_tpu.ops.wide_traversal import _wide_step
+
+    svc_fns = [("full", lambda tr, _s=state: run_full(tr)),
+               ("service", lambda tr, _s=state: run_service(_s))]
+
+    for name, fn in ([("cheap", run_cheap)] + svc_fns + size_fns):
         v = float(fn(trav0))  # compile + warm
         ts = []
         for _ in range(args.iters):
