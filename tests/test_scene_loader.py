@@ -127,3 +127,34 @@ def test_device_packer_matches_pack_scene(scene):
                 assert not np.any(av[len(bv):]), f"{name}: nonzero pad rows"
         else:
             np.testing.assert_array_equal(av, bv, err_msg=name)
+
+
+def test_subframe_grid_follows_config_not_rendered_spp(scene):
+    """The motion-blur subframe time grid is fixed by the CONFIG's
+    samples_per_pixel — the reference's is compile-time (256 => 32
+    subframes at times i/32, config.hh:14-18, scene.cc:648-650) no matter
+    how many samples a render draws. Harnesses must therefore render
+    sample subsets against the FULL grid (tools/full_validation.py);
+    rescaling the grid to the rendered spp diverges above 8 spp (the
+    round-4 64-spp validation caught exactly this: 7/18 frames < 32 dB).
+    Pinned here at the data level: TESTING builds 32 subframes and the
+    per-subframe dynamic instances sit at distinct times."""
+    from pathtracing_tpu.scene.loader import setup_animation_frame
+
+    assert TESTING.samples_per_pixel == 256
+    assert TESTING.subframe_count == 32
+
+    setup_animation_frame(scene, 500, TESTING)
+    try:
+        assert len(scene.subframes) == 32
+        assert len(scene.subframe_entries) == 32
+        # the sunset curve is continuous in sub_t, so the 32 grid
+        # points carry 32 distinct sun directions at every frame
+        # (reference: scene.cc:691-693) — subframe times are i/32 of
+        # the frame interval, not i/ceil(rendered_spp/8)
+        dirs = {tuple(sf.light.direction.tolist())
+                for sf in scene.subframes}
+        assert len(dirs) == 32, len(dirs)
+    finally:
+        # restore the module fixture's 2-subframe frame state
+        setup_animation_frame(scene, 1, CFG)
