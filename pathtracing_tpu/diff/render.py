@@ -24,6 +24,7 @@ from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pathtracing_tpu.config import RenderConfig
 from pathtracing_tpu.ops.integrator import path_trace_samples
@@ -114,6 +115,58 @@ def make_fast_grad_fn(
             c = path_trace_samples(
                 config, s, xs, ys, sample_indices, replay=records
             )
+            return loss_fn(c)
+
+        params = {f: getattr(scene, f) for f in fields}
+        return jax.value_and_grad(forward)(params)
+
+    return fn
+
+
+def make_fast_grad_frame_fn(
+    config: RenderConfig,
+    n_pixels: int,
+    spp: int,
+    fields: Sequence[str] = DIFFERENTIABLE_FIELDS,
+    loss_fn: Callable[[Vec3], jnp.ndarray] | None = None,
+    lanes: int = 8192,
+    sample_base: int = 0,
+):
+    """Frame-structured record/replay gradients at MEGAKERNEL speed.
+
+    Like make_fast_grad_fn, but pass 1 records hit topology inside the
+    persistent-lane megakernel (ops/megakernel.py record=True) over the
+    row-major pixels [0, n_pixels) x samples [sample_base,
+    sample_base+spp) — the fast-grad decomposition showed the scan-forward
+    record pass binds (BENCH_NOTES round 4), and the megakernel runs the
+    same forward ~8x faster on small scenes. Pass 2 differentiates the
+    traversal-free scan replay over one lane per (pixel, sample) work
+    item. Returns a jitted fn(scene) -> (loss, grads). Requires wide
+    tables; sun-NEE scenes only (megakernel record constraint)."""
+    from pathtracing_tpu.ops.megakernel import path_trace_megakernel
+
+    if loss_fn is None:
+        def loss_fn(c):
+            return jnp.mean(0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z)
+
+    n_items = n_pixels * spp
+    item = np.arange(n_items, dtype=np.int32)
+    pix = item % n_pixels
+
+    @jax.jit
+    def fn(scene):
+        xs = jnp.asarray(pix % config.image_width)
+        ys = jnp.asarray(pix // config.image_width)
+        si = jnp.asarray(sample_base + item // n_pixels)
+        sg = jax.tree.map(jax.lax.stop_gradient, scene)
+        _, records = path_trace_megakernel(
+            config, sg, n_pixels, spp, sample_base, lanes=lanes,
+            record=True,
+        )
+
+        def forward(params):
+            s = scene._replace(**params)
+            c = path_trace_samples(config, s, xs, ys, si, replay=records)
             return loss_fn(c)
 
         params = {f: getattr(scene, f) for f in fields}

@@ -138,6 +138,11 @@ class _MkState(NamedTuple):
     b_dir: Vec3
     b_atten: Vec3
     b_pdf: Array
+    # record-mode hit-topology planes (diff/render fast gradients):
+    # primary (n_items,) + per-bounce flat (B*n_items,) arrays; all (0,)
+    # when record=False (same pattern as acc_l2)
+    rec_p: Any             # dict of (n_items,) arrays or None
+    rec_b: Any             # dict of (B*n_items,) arrays or None
     # embedded wide traversal state
     trav: Any              # _WideTravState
 
@@ -317,6 +322,41 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     )
     died = shade_m & jnp.logical_not(path_live)
 
+    # ---- record-mode hit-topology capture (fast gradients): the same
+    # per-bounce records path_trace_samples(record=True) emits, scattered
+    # by work item so a traversal-free scan replay can differentiate them
+    # (diff/render.make_fast_grad_fn). Indexing contract: bounce shade
+    # with pre-increment bounce index k writes row k-1 (= the scan's
+    # recs[k-1].hit, the hit its bounce ray k produced); a finished sun
+    # shadow with s.bounce_i == k writes occ row k-1. ----
+    rec_p, rec_b = s.rec_p, s.rec_b
+    if rec_b:
+        n_items_rec = n_pixels * spp
+        hit_bit = new_info.thit > 0
+        back_bit = hit_bit & (new_info.eta > 1.0)
+        oob = jnp.int32(n_items_rec * config.max_bounces + 1)
+        pidx = jnp.where(is_prim, s.item, oob)
+        rec_p = {
+            "hit": rec_p["hit"].at[pidx].set(hit_bit, mode="drop"),
+            "inst": rec_p["inst"].at[pidx].set(hit.inst, mode="drop"),
+            "prim": rec_p["prim"].at[pidx].set(hit.prim, mode="drop"),
+            "back": rec_p["back"].at[pidx].set(back_bit, mode="drop"),
+            "occ": rec_p["occ"],
+        }
+        bidx = jnp.where(
+            is_bshade, (s.bounce_i - 1) * n_items_rec + s.item, oob
+        )
+        oidx = jnp.where(
+            sh1_done, (s.bounce_i - 1) * n_items_rec + s.item, oob
+        )
+        rec_b = {
+            "hit": rec_b["hit"].at[bidx].set(hit_bit, mode="drop"),
+            "inst": rec_b["inst"].at[bidx].set(hit.inst, mode="drop"),
+            "prim": rec_b["prim"].at[bidx].set(hit.prim, mode="drop"),
+            "back": rec_b["back"].at[bidx].set(back_bit, mode="drop"),
+            "occ": rec_b["occ"].at[oidx].set(trav.occluded, mode="drop"),
+        }
+
     # ---- continue: nee + bsdf draws, launch the shadow ray ----
     info_now = new_info._replace(roughness=roughness)
     view = info_now.tbn.vec_mul(-s.ray_d)
@@ -432,6 +472,8 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
         b_dir=where3(path_live, b_dir, s.b_dir),
         b_atten=where3(path_live, sample.attenuation, s.b_atten),
         b_pdf=jnp.where(path_live, sample.pdf, s.b_pdf),
+        rec_p=rec_p,
+        rec_b=rec_b,
     )
 
     # ---- ONE merged launch (masks are disjoint): finished shadows chain
@@ -497,6 +539,7 @@ def path_trace_megakernel(
     return_truncated: bool = False,
     pixel_order=None,
     return_periods: bool = False,
+    record: bool = False,
 ):
     """Whole-frame radiance sums over samples [sample_base, sample_base+spp)
     for pixels [pixel_base, pixel_base + n_pixels) of a
@@ -521,6 +564,11 @@ def path_trace_megakernel(
     supported: lanes chain shade -> sun shadow -> area shadow -> bounce.
     """
     assert getattr(scene, "wide_rows", None) is not None
+    if record:
+        assert not with_stats, "record mode excludes with_stats"
+        assert getattr(scene, "lt_tris", None) is None, (
+            "record mode supports the sun-NEE path only"
+        )
     R = lanes
     n_items = n_pixels * spp
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
@@ -581,6 +629,20 @@ def path_trace_megakernel(
         acc_g=jnp.zeros(n_pixels, jnp.float32),
         acc_b=jnp.zeros(n_pixels, jnp.float32),
         acc_l2=jnp.zeros(n_pixels if with_stats else 0, jnp.float32),
+        rec_p={
+            "hit": jnp.zeros(n_items, bool),
+            "inst": jnp.zeros(n_items, jnp.int32),
+            "prim": jnp.zeros(n_items, jnp.int32),
+            "back": jnp.zeros(n_items, bool),
+            "occ": jnp.zeros(n_items, bool),
+        } if record else {},
+        rec_b={
+            "hit": jnp.zeros(config.max_bounces * n_items, bool),
+            "inst": jnp.zeros(config.max_bounces * n_items, jnp.int32),
+            "prim": jnp.zeros(config.max_bounces * n_items, jnp.int32),
+            "back": jnp.zeros(config.max_bounces * n_items, bool),
+            "occ": jnp.zeros(config.max_bounces * n_items, bool),
+        } if record else {},
         tlas_count=i32(1),
         tlas_offset=i32(0),
         light=LightParams(
@@ -703,6 +765,12 @@ def path_trace_megakernel(
         jnp.int32
     )
     out = (acc, final.acc_l2) if with_stats else (acc,)
+    if record:
+        B = config.max_bounces
+        out = out + ((
+            final.rec_p,
+            {k: v.reshape(B, n_items) for k, v in final.rec_b.items()},
+        ),)
     if return_truncated:
         out = out + (n_truncated,)
     if return_periods:

@@ -78,3 +78,31 @@ def test_fast_grads_match_slow(scene, scene_wide, wide):
         assert abs(
             int((np.abs(a) > 1e-12).sum()) - int((np.abs(b) > 1e-12).sum())
         ) <= 2, f"{k}: gradient support changed"
+
+
+def test_frame_fast_grads_match_slow(scene_wide):
+    """Megakernel-record + scan-replay frame gradients equal the slow
+    path on the same (pixel, sample) work items."""
+    from pathtracing_tpu.diff.render import make_fast_grad_frame_fn
+
+    n_pixels, spp = 2 * CFG.image_width, 2
+    n_items = n_pixels * spp
+    item = np.arange(n_items, dtype=np.int32)
+    pix = item % n_pixels
+    xs = jnp.asarray(pix % CFG.image_width)
+    ys = jnp.asarray(pix // CFG.image_width)
+    si = jnp.asarray(item // n_pixels)
+
+    loss_slow, g_slow = render_value_and_grad(CFG, scene_wide, xs, ys, si)
+    loss_fast, g_fast = make_fast_grad_frame_fn(
+        CFG, n_pixels, spp, lanes=512
+    )(scene_wide)
+    np.testing.assert_allclose(
+        float(loss_fast), float(loss_slow), rtol=1e-4
+    )
+    for k in g_slow:
+        a, b = np.asarray(g_slow[k]), np.asarray(g_fast[k])
+        scale = np.abs(a).max()
+        np.testing.assert_allclose(
+            b, a, rtol=2e-2, atol=2e-2 * scale + 1e-9, err_msg=k
+        )

@@ -191,34 +191,38 @@ def bench_grads(scale, json_path):
     import numpy as np
 
     from pathtracing_tpu.config import TESTING
-    from pathtracing_tpu.diff.render import make_fast_grad_fn
+    from pathtracing_tpu.diff.render import make_fast_grad_frame_fn
     from pathtracing_tpu.utils.goldenio import load_golden
     from golden_scene import scene_device_from_golden
 
-    # record/replay fast path (diff/render.make_fast_grad_fn): the
-    # forward runs the fast stop-gradient traversal once to record hit
-    # topology; AD differentiates a traversal-free replay. Gradients
-    # match make_render_grad_fn (tests/test_diff_fast.py).
+    # frame-structured record/replay (diff/render.make_fast_grad_frame_fn):
+    # pass 1 records hit topology inside the persistent-lane MEGAKERNEL,
+    # pass 2 differentiates the traversal-free replay. Gradients match
+    # render_value_and_grad (tests/test_diff_fast.py).
     scene = scene_device_from_golden(
         load_golden(str(REPO / "tests/golden/scene.gold")),
-        wide=jax.default_backend() == "tpu",
+        wide=True,
     )
-    n = {"full": 1 << 16, "small": 1 << 14}.get(scale, 1 << 10)
-    rng = np.random.default_rng(0)
-    xs = jnp.asarray(rng.integers(0, TESTING.image_width, n), jnp.int32)
-    ys = jnp.asarray(rng.integers(0, TESTING.image_height, n), jnp.int32)
-    si = jnp.asarray(rng.integers(0, 8, n), jnp.int32)
-    fn = make_fast_grad_fn(TESTING)
+    # the FULL golden frame at 1 spp (sky + geometry mix, the realistic
+    # inverse-rendering workload); "small"/"tiny" take a slice of rows
+    W, H = TESTING.image_width, TESTING.image_height
+    rows = {"full": H, "small": H // 4}.get(scale, 8)
+    n_pixels = W * rows
+    n = n_pixels  # lane-samples per step
+    fn0 = make_fast_grad_frame_fn(
+        TESTING, n_pixels, 1,
+        lanes=min(16384, max(512, n // 4)),
+    )
     # time by host-fetching a scalar: block_until_ready does NOT block
     # through the axon tunnel (tools/tpu_diag.py methodology); the device
     # executes in order, so fetching the last rep's loss fences all reps.
     t0 = time.perf_counter()
-    float(fn(scene, xs, ys, si)[0])
+    float(fn0(scene)[0])
     compile_s = time.perf_counter() - t0
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(scene, xs, ys, si)
+        out = fn0(scene)
     float(out[0])
     dt = (time.perf_counter() - t0) / reps
     ms = n / dt / 1e6
