@@ -157,6 +157,7 @@ def main():
                     "value": round(msamples_s, 4),
                     "unit": "Msamples/s",
                     "vs_baseline": round(msamples_s / CPU_BASELINE_MSAMPLES_S, 4),
+                    "device": "cpu-fallback (axon tunnel down)",
                 }
             )
         )
@@ -183,6 +184,7 @@ def main():
                 "value": round(msamples_s, 4),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msamples_s / CPU_BASELINE_MSAMPLES_S, 4),
+                "device": "tpu",
             }
         )
     )
