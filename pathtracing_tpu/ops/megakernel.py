@@ -569,6 +569,10 @@ def path_trace_megakernel(
         assert getattr(scene, "lt_tris", None) is None, (
             "record mode supports the sun-NEE path only"
         )
+        assert pixel_order is None, (
+            "record mode indexes records by item; replay assumes the "
+            "identity item->pixel map"
+        )
     R = lanes
     n_items = n_pixels * spp
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)[:, 0]
