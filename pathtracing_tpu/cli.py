@@ -158,7 +158,7 @@ def main(argv=None):
         scene = packer = None
     else:
         scene = load_scene(data_dir=args.data_dir, config=config)
-        packer = DevicePacker(scene, wide=wide)
+        packer = DevicePacker(scene, wide=wide, chunk_max=1024 if wide else None)
     print(
         f"EXECUTION TIME OF load_scene() : "
         f"{(time.perf_counter()-t0)*1e3:.0f}ms"

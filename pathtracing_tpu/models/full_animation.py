@@ -39,5 +39,7 @@ def build(
         wide = jax.default_backend() == "tpu"
     s = load_scene(data_dir=data_dir, config=config)
     setup_animation_frame(s, frame, config)
-    dev = DevicePacker(s, wide=wide).pack_frame(s)
+    dev = DevicePacker(
+        s, wide=wide, chunk_max=1024 if wide else None
+    ).pack_frame(s)
     return s, dev
