@@ -158,3 +158,39 @@ def test_subframe_grid_follows_config_not_rendered_spp(scene):
     finally:
         # restore the module fixture's 2-subframe frame state
         setup_animation_frame(scene, 1, CFG)
+
+
+def test_skip_tlas_trees_same_wide_tables(scene):
+    """build_tlas_trees=False (the wide-path frame loop's fast setup) must
+    yield byte-identical chunked wide tables and per-subframe root
+    cursors — the chunked tail is built from the instance list alone and
+    uses sf.tlas.node_offset only as a row key."""
+    from pathtracing_tpu.scene.device import DevicePacker
+    from pathtracing_tpu.scene.loader import setup_animation_frame
+
+    packer = DevicePacker(scene, wide=True, chunk_max=512)
+    try:
+        setup_animation_frame(scene, 42, CFG)
+        dev_a = packer.pack_frame(scene)
+        roots_a = [
+            np.asarray(
+                dev_a.wide_root[sf.tlas.node_offset - int(dev_a.wide_root_base)]
+            )
+            for sf in scene.subframes
+        ]
+        wide_a = np.asarray(dev_a.wide_rows)
+
+        setup_animation_frame(scene, 42, CFG, build_tlas_trees=False)
+        assert all(sf.tlas.node_count == 0 for sf in scene.subframes)
+        dev_b = packer.pack_frame(scene)
+        roots_b = [
+            np.asarray(
+                dev_b.wide_root[sf.tlas.node_offset - int(dev_b.wide_root_base)]
+            )
+            for sf in scene.subframes
+        ]
+        np.testing.assert_array_equal(wide_a, np.asarray(dev_b.wide_rows))
+        for a, b in zip(roots_a, roots_b):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        setup_animation_frame(scene, 1, CFG)

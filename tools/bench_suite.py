@@ -160,7 +160,10 @@ def bench_full_anim(scale, frames, wavefront, json_path):
     for i in range(frames):
         frame = 0 if i == 0 else i * (1800 // max(frames, 1))
         t0 = time.perf_counter()
-        setup_animation_frame(host, frame, config)
+        setup_animation_frame(
+            host, frame, config,
+            build_tlas_trees=jax.default_backend() != "tpu",
+        )
         dev = packer.pack_frame(host)
         setup_s += time.perf_counter() - t0
         t0 = time.perf_counter()

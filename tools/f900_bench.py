@@ -66,7 +66,9 @@ def main():
 
     for frame in [int(x) for x in args.frame.split(",")]:
         t0 = time.perf_counter()
-        setup_animation_frame(host, frame, TESTING)
+        setup_animation_frame(
+            host, frame, TESTING, build_tlas_trees=False
+        )
         dev = packer.pack_frame(host)
         jax.block_until_ready(dev.wide_rows)
         pack_s = time.perf_counter() - t0

@@ -173,7 +173,12 @@ def main():
     ]
 
     def setup_pack(f):
-        setup_animation_frame(scene, f, config)
+        # the wide/megakernel path never reads the binary subframe TLAS
+        # trees (the chunked tail rebuilds from the instance list), so
+        # skip the 32 per-frame builds there (~5-10 s host time/frame)
+        setup_animation_frame(
+            scene, f, config, build_tlas_trees=backend != "tpu"
+        )
         return packer.pack_frame(scene)
 
     host_pool = ThreadPoolExecutor(max_workers=1)
