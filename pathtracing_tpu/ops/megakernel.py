@@ -328,20 +328,27 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
     # (diff/render.make_fast_grad_fn). Indexing contract: bounce shade
     # with pre-increment bounce index k writes row k-1 (= the scan's
     # recs[k-1].hit, the hit its bounce ray k produced); a finished sun
-    # shadow with s.bounce_i == k writes occ row k-1. ----
+    # shadow with s.bounce_i == k writes occ row k-1.
+    # Per-lane scatters cost like gathers (tuning.py gather law), so the
+    # loop carries a PACKED form — pk = (inst << 2) | (back << 1) | hit —
+    # cutting the scatter count per service step from 9 to 5; the final
+    # unpack below restores the scan-record format bit-exactly (inst may
+    # be a negative sentinel on miss: arithmetic >> 2 preserves it). ----
     rec_p, rec_b = s.rec_p, s.rec_b
     if rec_b:
         n_items_rec = n_pixels * spp
         hit_bit = new_info.thit > 0
         back_bit = hit_bit & (new_info.eta > 1.0)
+        pk_val = (
+            (hit.inst << 2)
+            | (back_bit.astype(jnp.int32) << 1)
+            | hit_bit.astype(jnp.int32)
+        )
         oob = jnp.int32(n_items_rec * config.max_bounces + 1)
         pidx = jnp.where(is_prim, s.item, oob)
         rec_p = {
-            "hit": rec_p["hit"].at[pidx].set(hit_bit, mode="drop"),
-            "inst": rec_p["inst"].at[pidx].set(hit.inst, mode="drop"),
+            "pk": rec_p["pk"].at[pidx].set(pk_val, mode="drop"),
             "prim": rec_p["prim"].at[pidx].set(hit.prim, mode="drop"),
-            "back": rec_p["back"].at[pidx].set(back_bit, mode="drop"),
-            "occ": rec_p["occ"],
         }
         bidx = jnp.where(
             is_bshade, (s.bounce_i - 1) * n_items_rec + s.item, oob
@@ -350,10 +357,8 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
             sh1_done, (s.bounce_i - 1) * n_items_rec + s.item, oob
         )
         rec_b = {
-            "hit": rec_b["hit"].at[bidx].set(hit_bit, mode="drop"),
-            "inst": rec_b["inst"].at[bidx].set(hit.inst, mode="drop"),
+            "pk": rec_b["pk"].at[bidx].set(pk_val, mode="drop"),
             "prim": rec_b["prim"].at[bidx].set(hit.prim, mode="drop"),
-            "back": rec_b["back"].at[bidx].set(back_bit, mode="drop"),
             "occ": rec_b["occ"].at[oidx].set(trav.occluded, mode="drop"),
         }
 
@@ -634,17 +639,12 @@ def path_trace_megakernel(
         acc_b=jnp.zeros(n_pixels, jnp.float32),
         acc_l2=jnp.zeros(n_pixels if with_stats else 0, jnp.float32),
         rec_p={
-            "hit": jnp.zeros(n_items, bool),
-            "inst": jnp.zeros(n_items, jnp.int32),
+            "pk": jnp.zeros(n_items, jnp.int32),
             "prim": jnp.zeros(n_items, jnp.int32),
-            "back": jnp.zeros(n_items, bool),
-            "occ": jnp.zeros(n_items, bool),
         } if record else {},
         rec_b={
-            "hit": jnp.zeros(config.max_bounces * n_items, bool),
-            "inst": jnp.zeros(config.max_bounces * n_items, jnp.int32),
+            "pk": jnp.zeros(config.max_bounces * n_items, jnp.int32),
             "prim": jnp.zeros(config.max_bounces * n_items, jnp.int32),
-            "back": jnp.zeros(config.max_bounces * n_items, bool),
             "occ": jnp.zeros(config.max_bounces * n_items, bool),
         } if record else {},
         tlas_count=i32(1),
@@ -771,9 +771,25 @@ def path_trace_megakernel(
     out = (acc, final.acc_l2) if with_stats else (acc,)
     if record:
         B = config.max_bounces
+
+        def unpack(pk, prim, occ):
+            return {
+                "hit": (pk & 1) != 0,
+                "inst": pk >> 2,          # arithmetic: miss sentinel kept
+                "prim": prim,
+                "back": (pk & 2) != 0,
+                "occ": occ,
+            }
+
+        rp = unpack(
+            final.rec_p["pk"], final.rec_p["prim"],
+            jnp.zeros(n_items, bool),      # primary occ: unused by replay
+        )
+        rb = unpack(
+            final.rec_b["pk"], final.rec_b["prim"], final.rec_b["occ"]
+        )
         out = out + ((
-            final.rec_p,
-            {k: v.reshape(B, n_items) for k, v in final.rec_b.items()},
+            rp, {k: v.reshape(B, n_items) for k, v in rb.items()},
         ),)
     if return_truncated:
         out = out + (n_truncated,)
