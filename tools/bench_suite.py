@@ -212,9 +212,16 @@ def bench_grads(scale, json_path):
     rows = {"full": H, "small": H // 4}.get(scale, 8)
     n_pixels = W * rows
     n = n_pixels  # lane-samples per step
+    # lanes: the tuned megakernel lane count (on-chip sweep: 8192 runs the
+    # record pass 1.45 Msamples/s vs 0.92 at 16384 / 0.54 at 32768 —
+    # BENCH_NOTES "Tunnel recovered")
+    from pathtracing_tpu.tuning import get_tuning
+
     fn0 = make_fast_grad_frame_fn(
         TESTING, n_pixels, 1,
-        lanes=min(16384, max(512, n // 4)),
+        lanes=int(get_tuning(jax.default_backend(), "small").get(
+            "lanes", 8192
+        )),
     )
     # time by host-fetching a scalar: block_until_ready does NOT block
     # through the axon tunnel (tools/tpu_diag.py methodology); the device
