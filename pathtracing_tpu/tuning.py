@@ -64,10 +64,14 @@ BUILTIN: dict[str, dict[str, dict[str, Any]]] = {
     },
     # TPU rows: "small" was swept ON CHIP with host-fetch timing
     # (2026-08-20, tools/mk_probe.py — see tuned.json, which overrides
-    # these); "large" rows remain priors pending a full-scene on-chip
-    # sweep (tools/stress_probe.py --record): unroll=True removes the
-    # per-step lax.cond dispatch, mid_entry=True avoids ~K/2 frozen
-    # iterations per BLAS entry (~10 entries/ray on the full scene).
+    # these). The mk_* knobs for "large" were swept on chip in round 4
+    # (tuned.json). The BINARY-WALK knobs for "large" (leaf_every /
+    # compact_div / mid_entry / tile_pixels) are RETIRED as priors and
+    # intentionally un-swept: on TPU the megakernel owns every large
+    # scene (render.py auto-selects it; bench_suite/full frame loop use
+    # it exclusively), so the binary walk never runs there. They only
+    # matter if the megakernel is explicitly disabled; re-sweep with
+    # tools/stress_probe.py --record if that ever becomes a real path.
     "tpu": {
         "small": {
             "leaf_every": 8,

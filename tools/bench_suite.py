@@ -212,17 +212,12 @@ def bench_grads(scale, json_path):
     rows = {"full": H, "small": H // 4}.get(scale, 8)
     n_pixels = W * rows
     n = n_pixels  # lane-samples per step
-    # lanes: the tuned megakernel lane count (on-chip sweep: 8192 runs the
-    # record pass 1.45 Msamples/s vs 0.92 at 16384 / 0.54 at 32768 —
-    # BENCH_NOTES "Tunnel recovered")
-    from pathtracing_tpu.tuning import get_tuning
-
-    fn0 = make_fast_grad_frame_fn(
-        TESTING, n_pixels, 1,
-        lanes=int(get_tuning(jax.default_backend(), "small").get(
-            "lanes", 8192
-        )),
-    )
+    # lanes: 8192 from the RECORD-MODE lane sweep (8192 runs the record
+    # pass 1.45 Msamples/s vs 0.92 at 16384 / 0.54 at 32768 — BENCH_NOTES
+    # "Tunnel recovered"). This intentionally differs from tuned.json's
+    # forward knob (tpu/small mk_lanes=12288): record mode carries extra
+    # per-lane scatter planes, so its optimum is smaller.
+    fn0 = make_fast_grad_frame_fn(TESTING, n_pixels, 1, lanes=8192)
     # time by host-fetching a scalar: block_until_ready does NOT block
     # through the axon tunnel (tools/tpu_diag.py methodology); the device
     # executes in order, so fetching the last rep's loss fences all reps.
