@@ -85,6 +85,8 @@ _PH_BOUNCE = 2
 _PH_SHADOW2 = 3   # area-light shadow ray (only when scene.lt_tris exist)
 
 DEFAULT_MK_LEAF_EVERY = 4
+# Hot advances per step when the scene ships a hot table (round-5 sweep).
+DEFAULT_MK_HOT_K = 2
 
 
 def _sel(mask, new, old):
@@ -539,6 +541,7 @@ def path_trace_megakernel(
     lanes: int = 32768,
     leaf_every: int = DEFAULT_MK_LEAF_EVERY,
     service_div: int | None = None,
+    hot_k: int | None = None,
     pixel_base=0,
     with_stats: bool = False,
     return_truncated: bool = False,
@@ -558,12 +561,13 @@ def path_trace_megakernel(
     covers pixel pixel_order[i] instead of pixel i. A Morton-curve order
     makes the ~R concurrently-live lanes a compact 2-D tile instead of a
     dozen scanlines, which raises the duplicate-row rate of every
-    traversal gather (concurrent coherent rays walk the same tree-top
-    rows). Measured on the v5e (tools/step_probe.py): gathers whose lanes
-    hit the SAME row cost ~0.7 ns/lane vs ~60 ns for distinct rows, so
-    coherence is the whole cost model. Radiance is unchanged: seeds
-    depend only on (x, y, sample_index) and each pixel's samples stay
-    n_pixels items apart (same fold spacing).
+    traversal gather. MEASURED LOSS on the v5e: heavily-duplicated
+    indices SERIALIZE (bank conflicts) — Morton ran 3.5x SLOWER at frame
+    900 (BENCH_NOTES round-4 gather law; the earlier "same-row gathers
+    cost ~0.7 ns" probe reading was a loop-hoisting artifact). Kept for
+    other topologies; default off. Radiance is unchanged: seeds depend
+    only on (x, y, sample_index) and each pixel's samples stay n_pixels
+    items apart (same fold spacing).
 
     Requires wide tables (scene.wide_rows). Area-light tables (lt_*) are
     supported: lanes chain shade -> sun shadow -> area shadow -> bounce.
@@ -727,6 +731,18 @@ def path_trace_megakernel(
     # (sky) they fire every period. This is what drain compaction does
     # for the wavefront renderer, without ever permuting lanes.
     sdiv = SERVICE_DIV if service_div is None else service_div
+    # Hot advances (round 5): extra micro-steps whose row gather hits the
+    # separate sub-MB scene.hot_rows table (~3 ns/lane vs ~51 on the mega
+    # table, tools/onehot_probe.py). Lanes at cold rows freeze — the
+    # conservative two-speed deferral, so results are bit-identical for
+    # every hot_k (tests/test_hotperm.py). Default: DEFAULT_MK_HOT_K when
+    # the scene ships a hot table, else 0.
+    hk = hot_k
+    if hk is None:
+        hk = DEFAULT_MK_HOT_K if getattr(scene, "hot_rows", None) is not None else 0
+    if hk and getattr(scene, "hot_rows", None) is None:
+        raise ValueError("hot_k > 0 needs scene.hot_rows (DevicePacker"
+                         "(hot_rows=H) / accel.hotperm)")
 
     def body(s):
         consts = _consts(s)
@@ -734,10 +750,20 @@ def path_trace_megakernel(
             s = s._replace(
                 trav=_wide_cheap_step(scene, s.trav, consts, s.tmin)
             )
+            for _ in range(hk):
+                s = s._replace(
+                    trav=_wide_cheap_step(scene, s.trav, consts, s.tmin,
+                                          hot=True)
+                )
         anyhit = (s.phase == _PH_SHADOW) | (s.phase == _PH_SHADOW2)
         s = s._replace(
             trav=_wide_step(scene, s.trav, consts, s.tmin, anyhit)
         )
+        for _ in range(hk):
+            s = s._replace(
+                trav=_wide_cheap_step(scene, s.trav, consts, s.tmin,
+                                      hot=True)
+            )
         live = jnp.logical_not(s.lane_done)
         due = jnp.count_nonzero(s.trav.done & live)
         stuck = jnp.count_nonzero(jnp.logical_not(s.trav.done) & live)

@@ -105,7 +105,8 @@ def _unpack_bf16_lo(bits):
 _EMPTY = np.uint32(0xFFFFFFFF)
 
 
-def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
+def _wide_cheap_step(scene, s: _WideTravState, consts, tmin,
+                     hot: bool = False):
     """Two-speed fast gear: gather + S-slot slab + advance + BLAS entry.
 
     LEAF rows park in the one-deep pending slot and are skipped over using
@@ -117,6 +118,25 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     traversing lane-steps on the golden scene, tools/mk_stats.py); the
     descent has no confirms, so executing it in the fast gear cannot
     reorder the candidate sequence and results stay bit-identical.
+
+    ``hot=True`` turns the step into a HOT ADVANCE: the row comes from the
+    separate sub-MB ``scene.hot_rows`` table (a copy of mega-table rows
+    [0, H) — the hottest rows, placed there by accel/hotperm.py), and only
+    lanes whose resolved cursor row is < H advance; everyone else freezes.
+    Measured v5e basis (tools/onehot_probe.py): a small separate-table
+    gather costs ~3 ns/lane vs ~51 ns on the >100 MB mega-table, immune to
+    duplicate-index serialization, so burning the tree-top rows in hot
+    advances removes them from the expensive gather stream. Freezing is
+    exactly the two-speed conservative-deferral schedule, so hits,
+    occlusion and PER-SAMPLE radiance stay bit-identical for every hot
+    schedule (tests/test_hotperm.py; re-verified on-chip 2026-08-21).
+    Caveat: hot advances change WHEN lanes die, which can reorder the
+    megakernel's per-pixel scatter-add fold across samples — per-PIXEL
+    sums at spp > 2 may differ by ~1 ulp between hot_k settings (f32
+    addition is non-associative). Unlike leaf_every/service_div (which
+    rescale all lanes uniformly and preserve death order), hot_k is
+    therefore outside the strict bit-identical-across-knobs class;
+    per-sample values and the validator PSNR gate are unaffected.
     """
     R = s.cursor.shape
     u32c = lambda v: jnp.full(R, np.uint32(v), jnp.uint32)
@@ -132,7 +152,12 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     kind = cur >> 30
     valid = jnp.logical_not(done)
     row_id = ((cur >> lay.slot_bits) & _U(lay.row_mask)).astype(jnp.int32)
-    row = scene.wide_rows[jnp.where(valid, row_id, 0)]
+    if hot:
+        H = scene.hot_rows.shape[0]
+        gate = valid & (row_id < H) & (kind != 3)
+        row = scene.hot_rows[jnp.where(gate, row_id, 0)]
+    else:
+        row = scene.wide_rows[jnp.where(valid, row_id, 0)]
     rbits = jax.lax.bitcast_convert_type(row, jnp.uint32)
 
     is_wide = valid & (kind == 0)
@@ -224,7 +249,7 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
     cursor = jnp.where(done, s.cursor, cursor)
 
     upd = lambda old, new, m: jnp.where(m, new, old)
-    return s._replace(
+    ns = s._replace(
         cursor=cursor,
         p_leaf=jnp.where(can_park, cur, s.p_leaf),
         inst_resume=upd(s.inst_resume, resume, descend_inst),
@@ -243,6 +268,11 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin):
         cand_inst=upd(s.cand_inst, inst_id, do_inst),
         done=done,
     )
+    if hot:
+        # non-hot lanes freeze wholesale (incl. pending pops/dones; the
+        # next real step resolves them with the correct row source)
+        return jax.tree.map(lambda n, o: jnp.where(gate, n, o), ns, s)
+    return ns
 
 
 def _leaf_block(scene, lay, row, s, tmin, mask):

@@ -33,10 +33,11 @@ def _render_tile_wavefront(
     return acc.x, acc.y, acc.z
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 5, 6, 7, 9))
 def _render_frame_megakernel(
     config: RenderConfig, scene, n_pixels: int, spp: int, sample_base,
     lanes: int, leaf_every: int, service_div: int, pixel_order=None,
+    hot_k: int | None = None,
 ):
     """Persistent-lane megakernel (ops/megakernel.py): one while_loop renders
     the whole frame — no per-bounce drains, no compaction permutes."""
@@ -45,7 +46,7 @@ def _render_frame_megakernel(
     acc, n_truncated = path_trace_megakernel(
         config, scene, n_pixels, spp, sample_base, lanes=lanes,
         leaf_every=leaf_every, service_div=service_div,
-        return_truncated=True, pixel_order=pixel_order,
+        return_truncated=True, pixel_order=pixel_order, hot_k=hot_k,
     )
     return acc.x, acc.y, acc.z, n_truncated
 
@@ -88,6 +89,8 @@ def megakernel_supported(scene, xs, ys, width: int) -> bool:
 DEFAULT_MK_LANES: int | None = None
 DEFAULT_MK_LEAF: int | None = None
 DEFAULT_MK_SERVICE: int | None = None
+# None = auto (DEFAULT_MK_HOT_K when the scene ships hot_rows, else 0)
+DEFAULT_MK_HOT_K: int | None = None
 
 # Megakernel dispatch budgets. The accumulator is per-PIXEL (the
 # death-time scatter fold, ops/megakernel.py), so memory no longer scales
@@ -284,7 +287,8 @@ def render_pixels(
             c = min(chunk, spp - a)
             r, g, b, n_trunc = _render_frame_megakernel(
                 config, scene, n, c,
-                jnp.int32(int(sample_base) + a), lanes, leaf, sdiv, order
+                jnp.int32(int(sample_base) + a), lanes, leaf, sdiv, order,
+                DEFAULT_MK_HOT_K,
             )
             out[:, 0] += np.asarray(r)[:n]
             out[:, 1] += np.asarray(g)[:n]

@@ -82,6 +82,12 @@ class SceneDevice(NamedTuple):
     lt_cdf: Array | None = None    # (L,) inclusive area prefix sum
     lt_seg: Array | None = None    # (I,) first light row per instance or -1
     lt_rank: Array | None = None   # (T,) emissive rank per triangle or -1
+    # Optional hot-row table (accel/hotperm.py): a separate copy of
+    # mega-table rows [0, H) — the hottest-gathered rows, moved there by a
+    # pack-time permutation. Sub-MB, so it gathers at ~3 ns/lane on the
+    # v5e vs ~51 for wide_rows (tools/onehot_probe.py); the megakernel
+    # burns tree-top rows against it in hot-advance micro-steps.
+    hot_rows: Array | None = None  # (H, W) f32
 
 
 def _round_bf16_down(x: np.ndarray) -> np.ndarray:
@@ -368,7 +374,8 @@ class DevicePacker:
 
     def __init__(self, scene, wide: bool = False, leaf_bundle: int | None = 8,
                  wide_layout="w8", chunk_max: int | None = None,
-                 octants: int = 8):
+                 octants: int = 8, hot_rows: int = 0,
+                 hot_score=None):
         mesh_arrays = scene.mesh_buf.arrays()
         indices, pos, normal, albedo, material = mesh_arrays
         blas_segments = [
@@ -425,6 +432,29 @@ class DevicePacker:
                     list(scene.meshes.values()),
                     leaf_bundle=leaf_bundle,
                     layout=_wide_layout(wide_layout),
+                )
+            self._hot_dev = None
+            if hot_rows:
+                # Hot-row permutation (accel/hotperm.py): top-scored rows
+                # move to [0, hot_rows) so the traversal's hot test is
+                # ``row < H`` and the hot table is a prefix copy. Chunked
+                # regions only (the plain WideStaticRegion predates the
+                # chunk TLAS and has no root map to rewrite).
+                if not self._chunked:
+                    raise ValueError("hot_rows needs chunk_max (chunked "
+                                     "static region)")
+                from pathtracing_tpu.accel.hotperm import (
+                    apply_hot_permutation,
+                )
+
+                apply_hot_permutation(
+                    self._wide_static, hot_rows, score=hot_score
+                )
+                H = self._wide_static.hot_count
+                # separate device array (not a view of the big table) so
+                # XLA stages it in VMEM independently
+                self._hot_dev = jnp.asarray(
+                    np.ascontiguousarray(self._wide_static.rows[:H])
                 )
             self._wide_static_dev = jnp.asarray(self._wide_static.rows)
             self._tri_shade = jnp.asarray(
@@ -518,5 +548,6 @@ class DevicePacker:
                 wide_root=jnp.asarray(root_by_off),
                 wide_root_base=jnp.int32(n_static),
                 tri_shade=self._tri_shade,
+                hot_rows=getattr(self, "_hot_dev", None),
             )
         return out

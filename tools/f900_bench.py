@@ -34,6 +34,13 @@ def main():
     ap.add_argument("--octants", type=int, default=8)
     ap.add_argument("--dispatch", type=int, default=0)
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--hot", type=int, default=0,
+                    help="hot-row table size H (0 = off)")
+    ap.add_argument("--hotk", type=str, default="0",
+                    help="hot advances per step (comma list)")
+    ap.add_argument("--hotscore", type=str, default="",
+                    help="per-row histogram .npy (tools/mk_hotrows.py); "
+                         "default structural order")
     args = ap.parse_args()
 
     import os
@@ -50,10 +57,11 @@ def main():
 
     t0 = time.perf_counter()
     host = load_scene(config=TESTING)
+    score = np.load(args.hotscore) if args.hotscore else None
     packer = DevicePacker(
         host, wide=True, chunk_max=args.chunk or None,
         wide_layout=args.layout, leaf_bundle=args.bundle,
-        octants=args.octants,
+        octants=args.octants, hot_rows=args.hot, hot_score=score,
     )
     print(f"load+static: {time.perf_counter()-t0:.1f}s "
           f"(rows {packer._wide_static.rows.shape[0]}, chunk={args.chunk}, "
@@ -76,9 +84,11 @@ def main():
         for lanes in [int(x) for x in args.lanes.split(",")]:
             for leaf in [int(x) for x in args.leaf.split(",")]:
                 for sdiv in [int(x) for x in args.service.split(",")]:
+                  for hotk in [int(x) for x in args.hotk.split(",")]:
                     R.DEFAULT_MK_LANES = lanes
                     R.DEFAULT_MK_LEAF = leaf
                     R.DEFAULT_MK_SERVICE = sdiv
+                    R.DEFAULT_MK_HOT_K = hotk
                     t0 = time.perf_counter()
                     out = R.render_pixels(
                         TESTING, dev, xs, ys, spp=args.spp, megakernel=True
@@ -96,7 +106,8 @@ def main():
                     ms = n_samples / best / 1e6
                     print(
                         f"frame={frame} lanes={lanes} leaf={leaf} "
-                        f"sdiv={sdiv}: {best:.2f}s = {ms:.3f} Msamples/s "
+                        f"sdiv={sdiv} hot={args.hot}/k{hotk}: "
+                        f"{best:.2f}s = {ms:.3f} Msamples/s "
                         f"(pack {pack_s:.1f}s, first pass {compile_s:.1f}s, "
                         f"mean_r {float(out[:, 0].mean()):.4f})",
                         flush=True,
