@@ -85,8 +85,11 @@ _PH_BOUNCE = 2
 _PH_SHADOW2 = 3   # area-light shadow ray (only when scene.lt_tris exist)
 
 DEFAULT_MK_LEAF_EVERY = 4
-# Hot advances per step when the scene ships a hot table (round-5 sweep).
-DEFAULT_MK_HOT_K = 2
+# Hot advances per step when the scene ships a hot table. 0 = off, the
+# measured optimum: ANY second gathered operand in the traversal loop
+# degrades the primary wide_rows gathers ~4.6x on the v5e (BENCH_NOTES
+# round-5 hot-advance campaign; ops/wide_traversal._wide_cheap_step).
+DEFAULT_MK_HOT_K = 0
 
 
 def _sel(mask, new, old):
@@ -740,9 +743,22 @@ def path_trace_megakernel(
     hk = hot_k
     if hk is None:
         hk = DEFAULT_MK_HOT_K if getattr(scene, "hot_rows", None) is not None else 0
-    if hk and getattr(scene, "hot_rows", None) is None:
+    # hot_k: int k = k hot advances after every step; tuple (per_step,
+    # burst) = per_step after each cheap/full step plus one BURST of
+    # ``burst`` back-to-back advances after the full step (consecutive
+    # advances amortize the in-context fixed cost — hot_probe pair2).
+    per_step, burst = hk if isinstance(hk, tuple) else (hk, 0)
+    if (per_step or burst) and getattr(scene, "hot_rows", None) is None:
         raise ValueError("hot_k > 0 needs scene.hot_rows (DevicePacker"
                          "(hot_rows=H) / accel.hotperm)")
+
+    def hot_run(s, k):
+        for _ in range(k):
+            s = s._replace(
+                trav=_wide_cheap_step(scene, s.trav, _consts(s), s.tmin,
+                                      hot=True)
+            )
+        return s
 
     def body(s):
         consts = _consts(s)
@@ -750,20 +766,12 @@ def path_trace_megakernel(
             s = s._replace(
                 trav=_wide_cheap_step(scene, s.trav, consts, s.tmin)
             )
-            for _ in range(hk):
-                s = s._replace(
-                    trav=_wide_cheap_step(scene, s.trav, consts, s.tmin,
-                                          hot=True)
-                )
+            s = hot_run(s, per_step)
         anyhit = (s.phase == _PH_SHADOW) | (s.phase == _PH_SHADOW2)
         s = s._replace(
             trav=_wide_step(scene, s.trav, consts, s.tmin, anyhit)
         )
-        for _ in range(hk):
-            s = s._replace(
-                trav=_wide_cheap_step(scene, s.trav, consts, s.tmin,
-                                      hot=True)
-            )
+        s = hot_run(s, per_step + burst)
         live = jnp.logical_not(s.lane_done)
         due = jnp.count_nonzero(s.trav.done & live)
         stuck = jnp.count_nonzero(jnp.logical_not(s.trav.done) & live)
@@ -775,14 +783,15 @@ def path_trace_megakernel(
                                 pixel_order),
             lambda st: st,
             s,
-        )
+        ), do_service
 
     def body_c(c):
-        s, period = c
-        return body(s), period + 1
+        s, period, services = c
+        s, did = body(s)
+        return s, period + 1, services + did.astype(jnp.int32)
 
-    final, end_period = jax.lax.while_loop(
-        cond, body_c, (state, jnp.int32(0))
+    final, end_period, end_services = jax.lax.while_loop(
+        lambda c: cond(c[:2]), body_c, (state, jnp.int32(0), jnp.int32(0))
     )
     # the accumulator planes are already per-pixel sums (folded on the fly
     # by the death-time scatter-add)
@@ -820,7 +829,7 @@ def path_trace_megakernel(
     if return_truncated:
         out = out + (n_truncated,)
     if return_periods:
-        out = out + (end_period,)
+        out = out + (end_period, end_services)
     return out if len(out) > 1 else out[0]
 
 

@@ -105,6 +105,34 @@ def _unpack_bf16_lo(bits):
 _EMPTY = np.uint32(0xFFFFFFFF)
 
 
+def _onehot_row(planes, idx):
+    """Bit-exact (R, W) f32 row fetch from int8 byte planes via one MXU
+    matmul: planes is (H, 4W) int8 holding the hot rows' u32 words as four
+    byte planes biased by -128 (scene/device.py _hot_byte_planes). A dense
+    s8 x s8 -> s32 one-hot matmul streams the whole operand through the
+    MXU — immune to the gather engine's staging budget AND to
+    duplicate-index serialization, the two effects that price per-lane
+    hot-row gathers at ~50-80 ns inside the production kernel
+    (BENCH_NOTES round 5; standalone cost ~4 ns/lane at H=1024,
+    tools/onehot_probe.py). Exactness: products are 0/1 x [-128, 127]
+    and each output sums exactly one non-zero term.
+    """
+    H = planes.shape[0]
+    W = planes.shape[1] // 4
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], H), 1)
+    oh = (iota == idx[:, None]).astype(jnp.int8)
+    prod = jax.lax.dot_general(
+        oh, planes, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    b = [
+        (prod[:, i * W:(i + 1) * W] + 128).astype(jnp.uint32)
+        for i in range(4)
+    ]
+    word = b[0] | (b[1] << 8) | (b[2] << 16) | (b[3] << 24)
+    return jax.lax.bitcast_convert_type(word, jnp.float32)
+
+
 def _wide_cheap_step(scene, s: _WideTravState, consts, tmin,
                      hot: bool = False):
     """Two-speed fast gear: gather + S-slot slab + advance + BLAS entry.
@@ -119,24 +147,31 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin,
     descent has no confirms, so executing it in the fast gear cannot
     reorder the candidate sequence and results stay bit-identical.
 
-    ``hot=True`` turns the step into a HOT ADVANCE: the row comes from the
-    separate sub-MB ``scene.hot_rows`` table (a copy of mega-table rows
-    [0, H) — the hottest rows, placed there by accel/hotperm.py), and only
-    lanes whose resolved cursor row is < H advance; everyone else freezes.
-    Measured v5e basis (tools/onehot_probe.py): a small separate-table
-    gather costs ~3 ns/lane vs ~51 ns on the >100 MB mega-table, immune to
-    duplicate-index serialization, so burning the tree-top rows in hot
-    advances removes them from the expensive gather stream. Freezing is
-    exactly the two-speed conservative-deferral schedule, so hits,
-    occlusion and PER-SAMPLE radiance stay bit-identical for every hot
-    schedule (tests/test_hotperm.py; re-verified on-chip 2026-08-21).
-    Caveat: hot advances change WHEN lanes die, which can reorder the
-    megakernel's per-pixel scatter-add fold across samples — per-PIXEL
-    sums at spp > 2 may differ by ~1 ulp between hot_k settings (f32
-    addition is non-associative). Unlike leaf_every/service_div (which
-    rescale all lanes uniformly and preserve death order), hot_k is
-    therefore outside the strict bit-identical-across-knobs class;
-    per-sample values and the validator PSNR gate are unaffected.
+    ``hot=True`` turns the step into a HOT ADVANCE: the row is fetched
+    bit-exactly from the int8 byte planes of mega-table rows [0, H) (the
+    hottest rows, moved there by accel/hotperm.py) via a one-hot MXU
+    matmul, and only lanes whose resolved cursor row is < H advance;
+    everyone else freezes (falls out of the kind masks — the two-speed
+    conservative-deferral schedule, so hits, occlusion and PER-SAMPLE
+    radiance stay bit-identical for every hot schedule;
+    tests/test_hotperm.py, re-verified on-chip 2026-08-21).
+
+    STATUS: measured-and-REJECTED on the v5e; default off (BENCH_NOTES
+    round 5 "hot-advance campaign"). Standalone the fetch costs 4-11
+    ns/lane, but introducing ANY second gathered operand into the
+    megakernel's traversal loop (small table, 12 MB padded table, int8
+    planes; inline or behind a scalar cond) degrades the loop's PRIMARY
+    wide_rows gathers ~4.6x (0.68 -> 3.1 ms/period at frame 900) — a
+    program-level XLA effect, not an op cost. A hot advance that fetches
+    from wide_rows itself stays fast but then costs a full gather, which
+    an ungated extra cheap step dominates. Kept (with tests) for
+    re-evaluation on other XLA versions/chips.
+
+    Per-pixel fold-order caveat: hot advances change WHEN lanes die,
+    which can reorder the megakernel's per-pixel scatter-add fold across
+    samples — per-PIXEL sums at spp > 2 may differ by ~1 ulp between
+    hot_k settings (f32 addition is non-associative). Per-sample values
+    and the validator PSNR gate are unaffected.
     """
     R = s.cursor.shape
     u32c = lambda v: jnp.full(R, np.uint32(v), jnp.uint32)
@@ -153,16 +188,24 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin,
     valid = jnp.logical_not(done)
     row_id = ((cur >> lay.slot_bits) & _U(lay.row_mask)).astype(jnp.int32)
     if hot:
-        H = scene.hot_rows.shape[0]
+        H = scene.hot_planes.shape[0]
         gate = valid & (row_id < H) & (kind != 3)
-        row = scene.hot_rows[jnp.where(gate, row_id, 0)]
+        row = _onehot_row(scene.hot_planes, jnp.where(gate, row_id, 0))
     else:
+        gate = valid
         row = scene.wide_rows[jnp.where(valid, row_id, 0)]
     rbits = jax.lax.bitcast_convert_type(row, jnp.uint32)
 
-    is_wide = valid & (kind == 0)
-    is_leaf = valid & (kind == 1)
-    is_inst = valid & (kind == 2)
+    # In hot mode non-hot lanes freeze by falling out of all three kind
+    # masks (their cursor keeps the resolved value, which also commits any
+    # pending END_BLAS pop — a legitimate partial transition the next real
+    # step continues from). This mask-folding IS the gating: a post-hoc
+    # whole-state select (tree_map where) measured 4-5x slower per period
+    # on chip because it de-structured the step XLA pattern-matches for
+    # the fused gather pipeline (BENCH_NOTES round 5).
+    is_wide = gate & (kind == 0)
+    is_leaf = gate & (kind == 1)
+    is_inst = gate & (kind == 2)
 
     org = where3(in_blas, Vec3(s.b_org_x, s.b_org_y, s.b_org_z), consts.org)
     inv = where3(in_blas, Vec3(s.b_inv_x, s.b_inv_y, s.b_inv_z), consts.t_inv)
@@ -268,10 +311,6 @@ def _wide_cheap_step(scene, s: _WideTravState, consts, tmin,
         cand_inst=upd(s.cand_inst, inst_id, do_inst),
         done=done,
     )
-    if hot:
-        # non-hot lanes freeze wholesale (incl. pending pops/dones; the
-        # next real step resolves them with the correct row source)
-        return jax.tree.map(lambda n, o: jnp.where(gate, n, o), ns, s)
     return ns
 
 

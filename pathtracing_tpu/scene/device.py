@@ -82,12 +82,29 @@ class SceneDevice(NamedTuple):
     lt_cdf: Array | None = None    # (L,) inclusive area prefix sum
     lt_seg: Array | None = None    # (I,) first light row per instance or -1
     lt_rank: Array | None = None   # (T,) emissive rank per triangle or -1
-    # Optional hot-row table (accel/hotperm.py): a separate copy of
-    # mega-table rows [0, H) — the hottest-gathered rows, moved there by a
-    # pack-time permutation. Sub-MB, so it gathers at ~3 ns/lane on the
-    # v5e vs ~51 for wide_rows (tools/onehot_probe.py); the megakernel
-    # burns tree-top rows against it in hot-advance micro-steps.
-    hot_rows: Array | None = None  # (H, W) f32
+    # Optional hot-row table (accel/hotperm.py): a copy of mega-table rows
+    # [0, H) — the hottest-gathered rows, moved there by a pack-time
+    # permutation. hot_planes is the SAME data as four -128-biased int8
+    # byte planes, which the traversal's hot-advance micro-steps fetch via
+    # a bit-exact one-hot MXU matmul (~4 ns/lane at H=1024 vs ~51 for a
+    # wide_rows gather; per-lane gathers on even a sub-MB side table run
+    # ~50-80 ns INSIDE the production kernel — staging-budget contention +
+    # duplicate serialization — so the matmul is the only fast hot path;
+    # BENCH_NOTES round 5). hot_rows stays for tests/diagnostics.
+    hot_rows: Array | None = None    # (H, W) f32
+    hot_planes: Array | None = None  # (H, 4W) int8
+
+
+def _hot_byte_planes(rows_f32: np.ndarray) -> np.ndarray:
+    """(H, W) f32 rows -> (H, 4W) int8: the rows' u32 words split into four
+    byte planes, each biased by -128 so it fits int8. Operand of the
+    bit-exact one-hot MXU fetch (ops/wide_traversal._onehot_row)."""
+    u = np.ascontiguousarray(rows_f32, f32).view(np.uint32)
+    planes = [
+        (((u >> (8 * b)) & 0xFF).astype(np.int32) - 128).astype(np.int8)
+        for b in range(4)
+    ]
+    return np.concatenate(planes, axis=1)
 
 
 def _round_bf16_down(x: np.ndarray) -> np.ndarray:
@@ -451,10 +468,11 @@ class DevicePacker:
                     self._wide_static, hot_rows, score=hot_score
                 )
                 H = self._wide_static.hot_count
-                # separate device array (not a view of the big table) so
-                # XLA stages it in VMEM independently
                 self._hot_dev = jnp.asarray(
                     np.ascontiguousarray(self._wide_static.rows[:H])
+                )
+                self._hot_planes_dev = jnp.asarray(
+                    _hot_byte_planes(self._wide_static.rows[:H])
                 )
             self._wide_static_dev = jnp.asarray(self._wide_static.rows)
             self._tri_shade = jnp.asarray(
@@ -549,5 +567,6 @@ class DevicePacker:
                 wide_root_base=jnp.int32(n_static),
                 tri_shade=self._tri_shade,
                 hot_rows=getattr(self, "_hot_dev", None),
+                hot_planes=getattr(self, "_hot_planes_dev", None),
             )
         return out
