@@ -138,6 +138,31 @@ def _world_aabbs(transforms: np.ndarray, bmin: np.ndarray, bmax: np.ndarray):
     return lmin, lmax
 
 
+def _chunk_prim_lists(links0: np.ndarray, chunk_roots) -> list[np.ndarray]:
+    """Per-chunk primitive id lists by iterative DFS over the octant-0
+    binary links (chunks partition the tree, so total work is O(nodes))."""
+    first, sibling, is_leaf = _children_arrays(links0, len(links0))
+    accept = links0[:, 0].astype(np.int64)
+    out = []
+    for root in chunk_roots:
+        prims = []
+        stack = [int(root)]
+        while stack:
+            v = stack.pop()
+            if is_leaf[v]:
+                prims.append(accept[v] & 0x7FFFFFFF)
+                continue
+            c = first[v]
+            while True:
+                stack.append(int(c))
+                nxt = sibling[c]
+                if nxt == sibling[v]:
+                    break
+                c = nxt
+        out.append(np.asarray(prims, np.int64))
+    return out
+
+
 def _inst_chunk_rows(
     lay: WideLayout, inv12: np.ndarray, inst_ids: np.ndarray,
     root8s: np.ndarray, base: int,
@@ -184,6 +209,7 @@ class ChunkedStaticRegion:
         layout: WideLayout = LAYOUT_W8,
         chunk_max: int = DEFAULT_CHUNK_MAX,
         octants: int = 8,
+        bake_static: bool = False,
     ):
         import sys
 
@@ -193,6 +219,7 @@ class ChunkedStaticRegion:
         self.layout = layout
         self.leaf_bundle = leaf_bundle
         self.chunk_max = chunk_max
+        self.bake_static = bake_static
         # octants=1 emits only octant 0's tree per chunk/TLAS and aliases
         # the 8 entry cursors to it: ~8x fewer interior rows, trading
         # near-to-far order for a far smaller gather working set (the v5e
@@ -214,6 +241,7 @@ class ChunkedStaticRegion:
         builder = None if native else WideBuilder(
             leaf_bundle=leaf_bundle, layout=lay
         )
+        mesh_cache: dict = {}  # bake_static: key -> (links8, n6, tri9, roots)
 
         for mesh, blas in mesh_blas_pairs:
             key = (blas.node_offset, blas.node_count)
@@ -230,6 +258,8 @@ class ChunkedStaticRegion:
 
             node_ids = np.asarray(roots, np.int64)
             aabb6 = n6[node_ids].copy()
+            if bake_static:
+                mesh_cache[key] = (links8, n6, tri9, node_ids)
             root8s = np.zeros((len(roots), 8), u32)
             for k, v in enumerate(roots):
                 if native:
@@ -279,12 +309,88 @@ class ChunkedStaticRegion:
             row_cursor = len(chunk_rows)
 
         # ---- static chunk INST rows -------------------------------------
+        # bake_static (round 5): every STATIC instance's chunk trees are
+        # re-emitted with WORLD-SPACE triangle vertices and node AABBs and
+        # an IDENTITY-transform INST row (original instance id, so shading
+        # and hit records are untouched). The static TLAS then covers
+        # EXACT per-chunk world boxes (reduced over the chunk's world
+        # triangles) instead of corner-transformed mesh boxes — the loose
+        # boxes + per-instance re-descents are what made tropical_tree 38%
+        # of all gathered rows (tools/mk_rowhist.py). Costs: the static
+        # table grows with total INSTANCED triangles (~79x the unique-mesh
+        # count on the full scene, ~7 GB — HBM-resident), and the leaf
+        # test runs on world-space vertices, which shifts exact-t ties
+        # into the documented chaotic-lane class (docs/PARITY.md) — the
+        # candidate SET is unchanged (conservative boxes, same triangles),
+        # so hits differ only on ulp-level t ties; validation is the PSNR
+        # gate, not bit-equality. Octant link tables are inherited from
+        # the mesh-space build, so near-to-far ordering degrades with
+        # instance rotation (performance, not correctness).
         inv12, ids, root8s, bmin, bmax, tmats = [], [], [], [], [], []
+        ident12 = np.eye(4, dtype=f32)[:, 0:3].reshape(12)
+        ident4 = np.eye(4, dtype=f32)
+        chunk_prims: dict = {}
+        if bake_static:
+            for key, (links8, n6, tri9, node_ids) in mesh_cache.items():
+                cnt = key[1]
+                chunk_prims[key] = _chunk_prim_lists(
+                    links8[:cnt], node_ids
+                )
         for abs_id, inst in enumerate(static_instances):
             key = (inst.blas.node_offset, inst.blas.node_count)
             node_ids, aabb6, r8 = self.chunks_of[key]
             C = len(node_ids)
             if C == 0:
+                continue
+            if bake_static:
+                # per-chunk WORLD SAH rebuild: exact world boxes AND
+                # world-axis octant orderings. (A cheaper variant reusing
+                # the mesh-space topology with corner-transformed node
+                # boxes measured 559.8 rows/sample at frame 900 vs 249.2
+                # baseline — rotation-degraded ordering + loose interior
+                # boxes more than cancel the TLAS win. BENCH_NOTES r5.)
+                links8, n6, tri9, _nids = mesh_cache[key]
+                t = np.asarray(inst.transform, f32)
+                rot, trans = t[:3, :3], t[3, :3]
+                v = tri9.reshape(-1, 3, 3)
+                tri9w = np.ascontiguousarray(
+                    (v @ rot + trans).reshape(-1, 9), f32
+                )
+                vw = tri9w.reshape(-1, 3, 3)
+                tmin_all = vw.min(axis=1)
+                tmax_all = vw.max(axis=1)
+                r8w = np.zeros((C, 8), u32)
+                emin = np.empty((C, 3), f32)
+                emax = np.empty((C, 3), f32)
+                for k in range(C):
+                    prims = chunk_prims[key][k]
+                    t_nodes, t_links = build_from_leaves(
+                        tmin_all[prims], tmax_all[prims],
+                        prims.astype(u32),
+                    )
+                    res = build_wide_tree_native(
+                        np.ascontiguousarray(t_links, u32),
+                        np.asarray(t_nodes, f32), tri9w, None, bundle,
+                        lay.n_slots, lay.leaf_tris, row_cursor,
+                        int(END_BLAS), root_node=0, n_octants=octants,
+                        stub=lay.stub,
+                    ) if native else None
+                    if res is None:
+                        raise RuntimeError(
+                            "bake_static needs the native wide builder"
+                        )
+                    rows, root8 = res
+                    parts.append(rows)
+                    r8w[k] = root8
+                    row_cursor += len(rows)
+                    emin[k] = t_nodes[0, 0:3]
+                    emax[k] = t_nodes[0, 3:6]
+                inv12.append(np.tile(ident12, (C, 1)))
+                ids.append(np.full(C, abs_id, np.int64))
+                root8s.append(r8w)
+                bmin.append(emin)
+                bmax.append(emax)
+                tmats.append(np.tile(ident4[None], (C, 1, 1)))
                 continue
             inv = np.asarray(inst.inv_transform, f32)[:, 0:3].reshape(12)
             inv12.append(np.tile(inv, (C, 1)))

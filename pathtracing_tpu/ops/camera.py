@@ -26,8 +26,14 @@ class CameraParams(NamedTuple):
 
 
 def camera_from_table(sf_cam: Array, idx: Array) -> CameraParams:
-    """Gather per-ray camera rows from the (S,18) subframe table."""
-    c = sf_cam[idx]  # (R, 18)
+    """Gather per-ray camera rows from the (S,18) subframe table.
+
+    Uses the one-hot MXU transpose (ops/integrator.small_table_gather):
+    the plain gather's AD transpose scatter-adds R rows into S<<R rows,
+    which serializes on the v5e."""
+    from pathtracing_tpu.ops.integrator import small_table_gather
+
+    c = small_table_gather(sf_cam, idx)  # (R, 18)
     return CameraParams(
         orientation=Mat3(
             Vec3(c[:, 0], c[:, 1], c[:, 2]),

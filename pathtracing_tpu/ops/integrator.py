@@ -51,8 +51,43 @@ class LightParams(NamedTuple):
     cos_solid_angle: Array
 
 
+@jax.custom_vjp
+def small_table_gather(table: Array, idx: Array) -> Array:
+    """``table[idx]`` with a one-hot MXU transpose.
+
+    For tiny per-subframe tables (sf_light (S,7), sf_cam (S,18); S <= a
+    few hundred) the reverse-mode transpose of a (R,) gather is a
+    scatter-add of R cotangent rows into S rows — maximal index
+    duplication, which serializes on the v5e (~2 ms per instance at
+    R=230k, BENCH_NOTES round 5). The custom backward computes the same
+    sum as onehot(idx)^T @ g on the MXU (~0.6 ms, no serialization).
+    Forward values are bit-identical (the same gather); gradient VALUES
+    equal the scatter's up to f32 summation order (Precision.HIGHEST
+    keeps operand rounding exact)."""
+    return table[idx]
+
+
+def _stg_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _stg_bwd(res, g):
+    idx, S = res
+    oh = (idx[:, None] == jnp.arange(S, dtype=idx.dtype)[None, :]).astype(
+        g.dtype
+    )
+    gt = jax.lax.dot_general(
+        oh, g, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return gt, None
+
+
+small_table_gather.defvjp(_stg_fwd, _stg_bwd)
+
+
 def light_from_table(sf_light: Array, idx: Array) -> LightParams:
-    l = sf_light[idx]
+    l = small_table_gather(sf_light, idx)
     return LightParams(
         direction=Vec3(l[:, 0], l[:, 1], l[:, 2]),
         color=Vec3(l[:, 3], l[:, 4], l[:, 5]),

@@ -350,10 +350,15 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
             | hit_bit.astype(jnp.int32)
         )
         oob = jnp.int32(n_items_rec * config.max_bounces + 1)
+        # every IN-BOUNDS index is a live lane's own item (distinct by the
+        # queue contract); all duplicates sit at the dropped oob slot, so
+        # unique_indices=True is sound and skips the combiner path
         pidx = jnp.where(is_prim, s.item, oob)
         rec_p = {
-            "pk": rec_p["pk"].at[pidx].set(pk_val, mode="drop"),
-            "prim": rec_p["prim"].at[pidx].set(hit.prim, mode="drop"),
+            "pk": rec_p["pk"].at[pidx].set(
+                pk_val, mode="drop", unique_indices=True),
+            "prim": rec_p["prim"].at[pidx].set(
+                hit.prim, mode="drop", unique_indices=True),
         }
         bidx = jnp.where(
             is_bshade, (s.bounce_i - 1) * n_items_rec + s.item, oob
@@ -362,9 +367,12 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
             sh1_done, (s.bounce_i - 1) * n_items_rec + s.item, oob
         )
         rec_b = {
-            "pk": rec_b["pk"].at[bidx].set(pk_val, mode="drop"),
-            "prim": rec_b["prim"].at[bidx].set(hit.prim, mode="drop"),
-            "occ": rec_b["occ"].at[oidx].set(trav.occluded, mode="drop"),
+            "pk": rec_b["pk"].at[bidx].set(
+                pk_val, mode="drop", unique_indices=True),
+            "prim": rec_b["prim"].at[bidx].set(
+                hit.prim, mode="drop", unique_indices=True),
+            "occ": rec_b["occ"].at[oidx].set(
+                trav.occluded, mode="drop", unique_indices=True),
         }
 
     # ---- continue: nee + bsdf draws, launch the shadow ray ----
@@ -397,14 +405,22 @@ def _service(config: RenderConfig, scene, s: _MkState, spp,
         dead_slot if pixel_order is None else pixel_order[dead_slot]
     )
     dead_pix = jnp.where(died, dead_local, n_pixels)
-    acc_r = s.acc_r.at[dead_pix].add(cur.x, mode="drop")
-    acc_g = s.acc_g.at[dead_pix].add(cur.y, mode="drop")
-    acc_b = s.acc_b.at[dead_pix].add(cur.z, mode="drop")
+    # at spp == 1 each in-bounds item IS its pixel (distinct per lane) and
+    # all duplicates are the dropped n_pixels slot, so the fold scatter
+    # can skip the combiner path; spp is static
+    uniq = spp == 1
+    acc_r = s.acc_r.at[dead_pix].add(cur.x, mode="drop",
+                                     unique_indices=uniq)
+    acc_g = s.acc_g.at[dead_pix].add(cur.y, mode="drop",
+                                     unique_indices=uniq)
+    acc_b = s.acc_b.at[dead_pix].add(cur.z, mode="drop",
+                                     unique_indices=uniq)
     if with_stats:
         lum = (
             f32(0.2126) * cur.x + f32(0.7152) * cur.y + f32(0.0722) * cur.z
         )
-        acc_l2 = s.acc_l2.at[dead_pix].add(lum * lum, mode="drop")
+        acc_l2 = s.acc_l2.at[dead_pix].add(lum * lum, mode="drop",
+                                           unique_indices=uniq)
     else:
         acc_l2 = s.acc_l2
     cur = where3(died, v0, cur)

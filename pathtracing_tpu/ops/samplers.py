@@ -50,9 +50,17 @@ def cosine_hemisphere_pdf(dir_z):
 
 
 def sample_cone(d: Vec3, cos_theta_min, u: Vec2) -> Vec3:
-    """Sun-disk cone sample (reference: path_tracer.hh:40-48)."""
+    """Sun-disk cone sample (reference: path_tracer.hh:40-48).
+
+    Gradient guard: at u.x == 0 (a real pcg4d output) cos_theta == 1
+    exactly and d sqrt(1-cos^2) is inf — cos_theta_min comes from
+    sf_light, so one such lane per frame poisons the whole sf_light
+    cotangent (round-5 find; forward value unchanged: sqrt(1)=1 dummy
+    only feeds the masked branch)."""
     cos_theta = mix(jnp.float32(1.0), cos_theta_min, u.x)
-    sin_theta = jnp.sqrt(1.0 - cos_theta * cos_theta)
+    s2 = 1.0 - cos_theta * cos_theta
+    pos = s2 > 0
+    sin_theta = jnp.where(pos, jnp.sqrt(jnp.where(pos, s2, 1.0)), 0.0)
     phi = u.y * 2.0 * _PI
     ts: Mat3 = create_tangent_space(d)
     v = Vec3(jnp.cos(phi) * sin_theta, jnp.sin(phi) * sin_theta, cos_theta)
@@ -86,7 +94,11 @@ def sample_ggx_vndf(view: Vec3, roughness, u: Vec2) -> Vec3:
 
     phi = 2.0 * _PI * u.x
     z = (1.0 - u.y) * (1.0 + v.z) - v.z  # fma in the reference
-    sin_theta = jnp.sqrt(clamp(1.0 - z * z, 0.0, 1.0))
+    z2 = 1.0 - z * z
+    zpos = z2 > 0
+    sin_theta = jnp.where(
+        zpos, jnp.sqrt(clamp(jnp.where(zpos, z2, 1.0), 0.0, 1.0)), 0.0
+    )  # same guard: d sqrt at 0 is inf; z == +-1 occurs at u.y in {0, 1}
     x = sin_theta * jnp.cos(phi)
     y = sin_theta * jnp.sin(phi)
     h = Vec3(x + v.x, y + v.y, z + v.z)

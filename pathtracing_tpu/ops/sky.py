@@ -38,14 +38,25 @@ _PI = f32(np.pi)
 
 
 def ray_sphere_intersection(origin: Vec3, d: Vec3, center: Vec3, radius):
-    """reference: math.hh:404-417. Returns (hit, tmin, tmax)."""
+    """reference: math.hh:404-417. Returns (hit, tmin, tmax).
+
+    Gradient guard (ops/bsdf.py pattern): d sqrt(x) at x=0 is inf, and
+    rays missing the sphere (disc <= 0) reach the sqrt via the max with a
+    0 operand — on TPU the resulting inf*0 poisons the light-direction
+    cotangent (round-5 find: sf_light grads were non-finite ON CHIP while
+    CPU fusion happened to avoid the pole). The untaken branch gets a
+    dummy operand of 1; forward values are unchanged (sq only feeds
+    t-bounds that hit=False lanes mask out downstream — and sqrt(max(x,0))
+    == sqrt(x) when x > 0)."""
     oc = origin - center
     b = dot3(oc, d)
     c = dot3(oc, oc) - radius * radius
     disc = b * b - c
-    hit = disc >= 0
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    return hit, -b - sq, -b + sq
+    hit = disc > 0
+    sq = jnp.where(
+        hit, jnp.sqrt(jnp.where(hit, disc, 1.0)), 0.0
+    )
+    return disc >= 0, -b - sq, -b + sq
 
 
 def _earth_origin(like):

@@ -217,6 +217,85 @@ def make_sharded_render_grad(
     return jax.jit(shard_fn)
 
 
+def make_sharded_fast_grad_frame(
+    config: RenderConfig,
+    mesh: Mesh,
+    n_pixels: int,
+    spp: int,
+    fields=None,
+    loss_fn=None,
+    lanes: int = 8192,
+):
+    """The FAST gradient protocol, multi-chip: jitted fn(scene) ->
+    (loss, grads) over the row-major frame pixels [0, n_pixels) x samples
+    [0, spp).
+
+    Per device: megakernel RECORD pass over its (tile pixel-block x
+    sample-range) shard, then the traversal-free replay value_and_grad
+    (diff/render.make_fast_grad_frame_fn semantics, reference forward:
+    path_tracer.hh:637-741 — gradients are the framework extension).
+    Loss is the global mean lane-sample luminance; per-field cotangents
+    psum over BOTH axes — the DP gradient all-reduce riding ICI
+    (SURVEY.md §2.11). Equality vs the single-device fast grad:
+    tests/test_parallel.py::test_sharded_fast_grad_matches.
+    """
+    from pathtracing_tpu.diff.render import DIFFERENTIABLE_FIELDS
+    from pathtracing_tpu.ops.megakernel import path_trace_megakernel
+
+    fields = tuple(fields) if fields is not None else DIFFERENTIABLE_FIELDS
+    if loss_fn is None:
+        def loss_fn(c):
+            return jnp.sum(0.2126 * c.x + 0.7152 * c.y + 0.0722 * c.z)
+
+    n_tiles = mesh.shape["tiles"]
+    n_sample_shards = mesh.shape["samples"]
+    assert spp % n_sample_shards == 0, (spp, n_sample_shards)
+    assert n_pixels % n_tiles == 0, (n_pixels, n_tiles)
+    local_spp = spp // n_sample_shards
+    local_pixels = n_pixels // n_tiles
+    n_items = local_pixels * local_spp
+    item = np.arange(n_items, dtype=np.int32)
+
+    def local_step(scene):
+        tile = jax.lax.axis_index("tiles").astype(jnp.int32)
+        shard = jax.lax.axis_index("samples").astype(jnp.int32)
+        pixel_base = tile * local_pixels
+        sample_base = shard * local_spp
+        pix = pixel_base + jnp.asarray(item) % local_pixels
+        xs = pix % config.image_width
+        ys = pix // config.image_width
+        si = sample_base + jnp.asarray(item) // local_pixels
+        denom = jnp.float32(n_pixels * spp)
+
+        sg = jax.tree.map(jax.lax.stop_gradient, scene)
+        _, records = path_trace_megakernel(
+            config, sg, local_pixels, local_spp, sample_base,
+            lanes=lanes, record=True, pixel_base=pixel_base,
+        )
+
+        def forward(params):
+            s = scene._replace(**params)
+            c = path_trace_samples(config, s, xs, ys, si, replay=records)
+            return loss_fn(c) / denom
+
+        params = {f: getattr(scene, f) for f in fields}
+        loss, grads = jax.value_and_grad(forward)(params)
+        loss = jax.lax.psum(loss, ("tiles", "samples"))
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, ("tiles", "samples")), grads
+        )
+        return loss, grads
+
+    shard_fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(shard_fn)
+
+
 def render_frame_sharded(
     config: RenderConfig,
     scene,

@@ -392,7 +392,7 @@ class DevicePacker:
     def __init__(self, scene, wide: bool = False, leaf_bundle: int | None = 8,
                  wide_layout="w8", chunk_max: int | None = None,
                  octants: int = 8, hot_rows: int = 0,
-                 hot_score=None):
+                 hot_score=None, bake_static: bool = False):
         mesh_arrays = scene.mesh_buf.arrays()
         indices, pos, normal, albedo, material = mesh_arrays
         blas_segments = [
@@ -437,6 +437,7 @@ class DevicePacker:
                     layout=_wide_layout(wide_layout),
                     chunk_max=chunk_max,
                     octants=octants,
+                    bake_static=bake_static,
                 )
                 self._chunked = True
             else:

@@ -160,3 +160,43 @@ def test_sharded_megakernel_matches_scan():
         np.abs(got[finite] - ref[finite]) <= 2e-4 + 2e-4 * np.abs(ref[finite])
     ).all(-1)
     assert close.mean() > 0.97, close.mean()
+
+
+def test_sharded_fast_grad_matches():
+    """The fast (record/replay) gradient protocol under shard_map must
+    match the single-device make_fast_grad_frame_fn: same loss, same
+    per-field cotangents (VERDICT r4 #6 — the DP gradient all-reduce on
+    the megakernel-record path)."""
+    from pathtracing_tpu.diff.render import make_fast_grad_frame_fn
+    from pathtracing_tpu.parallel.sharding import (
+        make_mesh,
+        make_sharded_fast_grad_frame,
+    )
+    from golden_scene import scene_device_from_golden
+    from pathtracing_tpu.utils.goldenio import load_golden
+    from conftest import require_golden
+
+    scene = scene_device_from_golden(
+        load_golden(str(require_golden("scene.gold"))), wide=True
+    )
+    n_pixels, spp = 2 * TESTING.image_width, 2
+
+    ref_fn = make_fast_grad_frame_fn(TESTING, n_pixels, spp, lanes=256)
+    ref_loss, ref_grads = ref_fn(scene)
+
+    mesh = make_mesh(2, 2)
+    fn = make_sharded_fast_grad_frame(
+        TESTING, mesh, n_pixels, spp, lanes=128
+    )
+    loss, grads = fn(scene)
+
+    # single-device loss is the mean over lanes; the sharded loss sums
+    # per-shard sums / global denom — equal up to f32 fold order
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    assert set(grads) == set(ref_grads)
+    for k in ref_grads:
+        a, b = np.asarray(ref_grads[k]), np.asarray(grads[k])
+        np.testing.assert_allclose(
+            b, a, rtol=2e-4, atol=1e-7,
+            err_msg=f"field {k}",
+        )

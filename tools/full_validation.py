@@ -91,6 +91,10 @@ def main():
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO, "build", "validation"))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--list", default="",
+                    help="explicit comma-separated frame list (overrides "
+                         "--frames/--stride; e.g. the motion-heavy chase "
+                         "frames for the 256-spp pass)")
     ap.add_argument("--oracle-only", action="store_true")
     ap.add_argument("--render-only", action="store_true")
     # worker-mode internals
@@ -102,7 +106,10 @@ def main():
     own_dir = os.path.join(args.out, "own")
     os.makedirs(ref_dir, exist_ok=True)
     os.makedirs(own_dir, exist_ok=True)
-    frames = list(range(0, args.frames, args.stride))
+    frames = (
+        [int(x) for x in args.list.split(",")] if args.list
+        else list(range(0, args.frames, args.stride))
+    )
 
     harness = build_harness()
     prepare_assets()
@@ -126,7 +133,8 @@ def main():
                 [sys.executable, __file__, "--oracle-worker", str(w),
                  "--workers", str(args.workers),
                  "--frames", str(args.frames), "--stride", str(args.stride),
-                 "--spp", str(args.spp), "--out", args.out],
+                 "--spp", str(args.spp), "--out", args.out]
+                + (["--list", args.list] if args.list else []),
                 env=env,
             ))
     if args.oracle_only:
@@ -211,7 +219,8 @@ def main():
     os.chdir(args.out)
     rc = validate.main(
         [ref_dir, own_dir, "--frames", str(args.frames)]
-        + (["--allow-missing-reference"] if args.stride > 1 else [])
+        + (["--allow-missing-reference"]
+           if (args.stride > 1 or args.list) else [])
     )
     print(f"validation_result.txt written to {args.out}")
     return rc

@@ -34,7 +34,7 @@ import numpy as np
 def main():
     args = sys.argv[1:]
     opt = {"--frame": 900, "--spp": 1, "--lanes": 8192,
-           "--leaf": 4, "--service": 4}
+           "--leaf": 4, "--service": 4, "--bake": 0}
     for i in range(0, len(args), 2):
         opt[args[i]] = int(args[i + 1])
     lanes, spp = opt["--lanes"], opt["--spp"]
@@ -54,7 +54,8 @@ def main():
 
     t0 = time.perf_counter()
     host = load_scene(config=TESTING)
-    packer = DevicePacker(host, wide=True, chunk_max=1024)
+    packer = DevicePacker(host, wide=True, chunk_max=1024,
+                      bake_static=bool(opt['--bake']))
     setup_animation_frame(host, opt["--frame"], TESTING,
                           build_tlas_trees=False)
     scene = packer.pack_frame(host)
