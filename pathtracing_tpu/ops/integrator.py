@@ -128,6 +128,27 @@ def trace_ray(
     return shade_hit(scene, light, hit, origin, d)
 
 
+@jax.custom_vjp
+def _vattr_gather3(vattr: Array, ti3: Array) -> Array:
+    """``vattr[ti3]`` (R, 3, 12) with a fused single-scatter transpose."""
+    return vattr[ti3]
+
+
+def _vg3_fwd(vattr, ti3):
+    return vattr[ti3], (ti3, vattr.shape[0])
+
+
+def _vg3_bwd(res, g):
+    ti3, V = res
+    flat_i = ti3.reshape(-1)                       # (3R,)
+    flat_g = g.reshape(-1, g.shape[-1])            # (3R, 12)
+    gt = jnp.zeros((V, g.shape[-1]), g.dtype).at[flat_i].add(flat_g)
+    return gt, None
+
+
+_vattr_gather3.defvjp(_vg3_fwd, _vg3_bwd)
+
+
 def shade_hit(
     scene, light: LightParams, hit, origin: Vec3, d: Vec3,
     packed: bool = False,
@@ -163,9 +184,14 @@ def shade_hit(
         a2 = ts_row[:, 22:33]
     else:
         ti = scene.tri_idx[tri_row]  # (R, 4) absolute vertex ids
-        a0 = scene.vattr[ti[:, 0]]  # (R, 12): normal, albedo, material
-        a1 = scene.vattr[ti[:, 1]]
-        a2 = scene.vattr[ti[:, 2]]
+        # one (R, 3) gather whose AD transpose is ONE (3R, 12) scatter-add
+        # instead of three — the TPU scatter op has a ~2.5-4 ms floor per
+        # instance at these shapes (BENCH_NOTES round 5), so fusing the
+        # three vertex cotangent scatters saves two floors per bounce
+        a012 = _vattr_gather3(scene.vattr, ti[:, 0:3])  # (R, 3, 12)
+        a0 = a012[:, 0]
+        a1 = a012[:, 1]
+        a2 = a012[:, 2]
 
     # Differentiable re-derivation of (u, v, t) at fixed topology: the
     # traversal is discrete (stop_gradient), so the watertight test is
