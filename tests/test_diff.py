@@ -115,3 +115,50 @@ def test_inverse_pose_converges():
     h = run(steps=9, n_pixels=2048, quiet=True)
     # (loss, position_error) pairs; the position error must at least halve
     assert h[-1][1] < h[0][1] * 0.5, (h[0], h[-1])
+
+
+def test_sample_cone_grad_finite_at_pole():
+    """u.x == 0 makes cos_theta == 1 exactly (a real pcg4d output); the
+    sqrt(1-cos^2) gradient w.r.t. cos_theta_min must stay finite
+    (round-5 on-chip find: one such lane poisoned the whole sf_light
+    cotangent)."""
+    import jax
+    import jax.numpy as jnp
+    from pathtracing_tpu.ops.samplers import sample_cone
+    from pathtracing_tpu.utils.vec import Vec2, Vec3
+
+    def f(cos_min):
+        d = Vec3(jnp.zeros(3), jnp.zeros(3), jnp.ones(3))
+        u = Vec2(jnp.asarray([0.0, 0.5, 1.0]), jnp.full(3, 0.25))
+        v = sample_cone(d, jnp.full(3, cos_min), u)
+        return (v.x + v.y + v.z).sum()
+
+    g = jax.grad(f)(jnp.float32(0.9976))
+    assert np.isfinite(float(g))
+    # forward unchanged at the pole: u.x=0 => exactly the axis direction
+    d = Vec3(jnp.zeros(1), jnp.zeros(1), jnp.ones(1))
+    v = sample_cone(d, jnp.full(1, 0.9976),
+                    Vec2(jnp.zeros(1), jnp.zeros(1)))
+    assert float(v.z[0]) == 1.0
+
+
+def test_ray_sphere_grad_finite_on_miss():
+    """d sqrt(disc) at disc <= 0 (atmosphere-missing rays) must not
+    poison cotangents (round-5 on-chip find)."""
+    import jax
+    import jax.numpy as jnp
+    from pathtracing_tpu.ops.sky import ray_sphere_intersection
+    from pathtracing_tpu.utils.vec import Vec3
+
+    def f(ox):
+        o = Vec3(ox, jnp.full_like(ox, 10.0), jnp.zeros_like(ox))
+        d = Vec3(jnp.zeros_like(ox), jnp.ones_like(ox),
+                 jnp.zeros_like(ox))
+        hit, tmin, tmax = ray_sphere_intersection(
+            o, d, Vec3(*(jnp.zeros_like(ox),) * 3), jnp.float32(1.0)
+        )
+        return jnp.where(hit, tmax - tmin, 0.0).sum()
+
+    # rays at x=0 graze/hit, at x=5 miss entirely
+    g = jax.grad(f)(jnp.asarray([0.0, 1.0, 5.0], jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
