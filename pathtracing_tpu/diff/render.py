@@ -131,6 +131,8 @@ def make_fast_grad_frame_fn(
     loss_fn: Callable[[Vec3], jnp.ndarray] | None = None,
     lanes: int = 8192,
     sample_base: int = 0,
+    leaf_every: int | None = None,
+    service_div: int | None = None,
 ):
     """Frame-structured record/replay gradients at MEGAKERNEL speed.
 
@@ -159,9 +161,14 @@ def make_fast_grad_frame_fn(
         ys = jnp.asarray(pix // config.image_width)
         si = jnp.asarray(sample_base + item // n_pixels)
         sg = jax.tree.map(jax.lax.stop_gradient, scene)
+        mk_kw = {}
+        if leaf_every is not None:
+            mk_kw["leaf_every"] = leaf_every
+        if service_div is not None:
+            mk_kw["service_div"] = service_div
         _, records = path_trace_megakernel(
             config, sg, n_pixels, spp, sample_base, lanes=lanes,
-            record=True,
+            record=True, **mk_kw,
         )
 
         def forward(params):
