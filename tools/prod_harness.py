@@ -37,9 +37,10 @@ def build_prod_harness() -> str:
                 shutil.copy(src, refcopy)
         cfg = os.path.join(refcopy, "config.hh")
         s = open(cfg).read()
-        s = s.replace("#define TESTING 1", "/* #define TESTING 1 */")
+        s = s.replace("#define TESTING 1",
+                      "/* TESTING disabled: production build */")
         open(cfg, "w").write(s)
-        assert "#define TESTING 1" not in s
+        assert "#define TESTING" not in s
     harness = os.path.join(BUILD, "harness")
     if not os.path.exists(harness):
         objs = []
@@ -69,6 +70,7 @@ def main():
 
     harness = build_prod_harness()
     prepare_assets()
+    args.out = os.path.abspath(args.out)
     os.makedirs(args.out, exist_ok=True)
     gold = os.path.join(args.out, f"ref_prod_{args.frame:04d}.gold")
     if not os.path.exists(gold):
